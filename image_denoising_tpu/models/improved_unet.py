@@ -1,0 +1,127 @@
+"""ImprovedUNet: depth-4 UNet with a sigmoid noise-estimator map, per-level
+Conv→LReLU→RDB→ResBlock stacks with channel doubling 48→384, an RDB+ResBlock
+bottleneck, PixelShuffle-based UpBlocks, and a sigmoid output head.
+
+Capability parity with the reference ``arch_unet.py:422-531``. That code never
+calls ``initialize_weights``, so every layer here uses torch's *default* init
+(kaiming_uniform a=√5) — see ``models/init.py``. GroupNorm group counts follow
+the reference fallback (``norm2d``, ``arch_unet.py:7-21``).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import Conv, gn_groups, leaky_relu, max_pool_2x2, pixel_shuffle
+
+
+class GroupNorm(nn.Module):
+    channels: int
+    groups: int = 32
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=gn_groups(self.channels, self.groups),
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="gn",
+        )(x)
+
+
+class ResBlock(nn.Module):
+    channels: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv(self.channels, use_bias=False, init="torch", dtype=self.dtype, name="conv0")(x)
+        h = GroupNorm(self.channels, dtype=self.dtype, name="norm0")(h)
+        h = leaky_relu(h)
+        h = Conv(self.channels, use_bias=False, init="torch", dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(self.channels, dtype=self.dtype, name="norm1")(h)
+        return x + h
+
+
+class RDB(nn.Module):
+    """Residual dense block: 4 growth-32 convs with dense concat + 1×1 LFF."""
+
+    channels: int
+    growth: int = 32
+    layers: int = 4
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [x]
+        for i in range(self.layers):
+            h = Conv(self.growth, init="torch", dtype=self.dtype, name=f"conv{i}")(
+                jnp.concatenate(feats, axis=-1)
+            )
+            feats.append(leaky_relu(h))
+        lff = Conv(self.channels, kernel=1, init="torch", dtype=self.dtype, name="lff")(
+            jnp.concatenate(feats, axis=-1)
+        )
+        return x + lff
+
+
+class UpBlock(nn.Module):
+    """conv→PixelShuffle(2) upsample, skip concat, fuse conv, RDB, ResBlock."""
+
+    out_ch: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = Conv(self.out_ch * 4, init="torch", dtype=self.dtype, name="conv_ps")(x)
+        x = pixel_shuffle(x, 2)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = leaky_relu(Conv(self.out_ch, init="torch", dtype=self.dtype, name="fuse")(x))
+        x = RDB(self.out_ch, dtype=self.dtype, name="rdb")(x)
+        x = ResBlock(self.out_ch, dtype=self.dtype, name="res")(x)
+        return x
+
+
+class ImprovedUNet(nn.Module):
+    in_nc: int = 3
+    out_nc: int = 3
+    n_feature: int = 48
+    depth: int = 4
+    noise: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        if self.noise:
+            h = Conv(self.n_feature, init="torch", dtype=dt, name="noise_est_conv0")(x)
+            h = leaky_relu(h)
+            h = Conv(1, init="torch", dtype=dt, name="noise_est_conv1")(h)
+            sigma_map = nn.sigmoid(h)
+            x = jnp.concatenate([x, sigma_map], axis=-1)
+        orig = x[..., : self.in_nc]
+
+        skips = []
+        nf = self.n_feature
+        for i in range(self.depth):
+            x = leaky_relu(Conv(nf, init="torch", dtype=dt, name=f"down{i}_conv")(x))
+            x = RDB(nf, dtype=dt, name=f"down{i}_rdb")(x)
+            x = ResBlock(nf, dtype=dt, name=f"down{i}_res")(x)
+            skips.append(x)
+            x = max_pool_2x2(x)
+            nf *= 2
+
+        nf //= 2  # bottleneck width = deepest encoder width
+        x = RDB(nf, dtype=dt, name="bottle_rdb")(x)
+        x = ResBlock(nf, dtype=dt, name="bottle_res")(x)
+
+        for i in range(self.depth):
+            nf //= 2
+            x = UpBlock(nf, dtype=dt, name=f"up{i}")(x, skips[-(i + 1)])
+
+        x = jnp.concatenate([x, orig], axis=-1)
+        x = Conv(self.out_nc, init="torch", dtype=dt, name="final")(x)
+        return nn.sigmoid(x)

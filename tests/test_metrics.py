@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+
+from image_denoising_tpu.metrics import (
+    calculate_psnr,
+    calculate_ssim,
+    compute_iq_iou,
+    ssim,
+)
+from image_denoising_tpu.metrics.ssim import gaussian_window, ssim_jax
+
+cv2 = pytest.importorskip("cv2", reason="cv2 oracle not available")
+
+
+def _pair(rng, shape=(96, 128)):
+    clean = rng.integers(0, 256, size=shape).astype(np.uint8)
+    noisy = np.clip(
+        clean.astype(np.float32) + rng.normal(0, 12, size=shape), 0, 255
+    ).astype(np.uint8)
+    return clean, noisy
+
+
+def test_gaussian_window_matches_cv2():
+    k = cv2.getGaussianKernel(11, 1.5)
+    oracle = np.outer(k, k.T)
+    np.testing.assert_allclose(gaussian_window(), oracle, atol=1e-15)
+
+
+def _cv2_ssim(img1, img2):
+    C1 = (0.01 * 255) ** 2
+    C2 = (0.03 * 255) ** 2
+    img1 = img1.astype(np.float64)
+    img2 = img2.astype(np.float64)
+    k = cv2.getGaussianKernel(11, 1.5)
+    window = np.outer(k, k.T)
+    mu1 = cv2.filter2D(img1, -1, window)[5:-5, 5:-5]
+    mu2 = cv2.filter2D(img2, -1, window)[5:-5, 5:-5]
+    s1 = cv2.filter2D(img1**2, -1, window)[5:-5, 5:-5] - mu1**2
+    s2 = cv2.filter2D(img2**2, -1, window)[5:-5, 5:-5] - mu2**2
+    s12 = cv2.filter2D(img1 * img2, -1, window)[5:-5, 5:-5] - mu1 * mu2
+    m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1**2 + mu2**2 + C1) * (s1 + s2 + C2)
+    )
+    return m.mean()
+
+
+def test_ssim_matches_cv2_oracle(rng):
+    clean, noisy = _pair(rng)
+    ours = ssim(noisy, clean)
+    oracle = _cv2_ssim(noisy, clean)
+    assert abs(ours - oracle) < 1e-10
+
+
+def test_ssim_3channel_dispatch(rng):
+    clean, noisy = _pair(rng, shape=(64, 64, 3))
+    ours = calculate_ssim(noisy, clean)
+    oracle = np.mean([_cv2_ssim(noisy[..., i], clean[..., i]) for i in range(3)])
+    assert abs(ours - oracle) < 1e-10
+
+
+def test_ssim_1channel_squeeze(rng):
+    clean, noisy = _pair(rng, shape=(64, 64))
+    a = calculate_ssim(noisy[..., None], clean[..., None])
+    b = calculate_ssim(noisy, clean)
+    assert a == b
+
+
+def test_ssim_shape_mismatch_raises(rng):
+    with pytest.raises(ValueError):
+        calculate_ssim(np.zeros((8, 8)), np.zeros((9, 8)))
+
+
+def test_ssim_jax_close_to_host(rng):
+    clean, noisy = _pair(rng, shape=(72, 80))
+    ours = float(
+        ssim_jax(noisy[None].astype(np.float32), clean[None].astype(np.float32))[0]
+    )
+    host = ssim(noisy, clean)
+    assert abs(ours - host) < 1e-4
+
+
+def test_psnr_float32_semantics(rng):
+    clean, noisy = _pair(rng)
+    img1 = noisy.astype(np.float32)
+    img2 = clean.astype(np.float32)
+    oracle = 10.0 * np.log10(255.0**2 / np.mean((img1 - img2) ** 2))
+    assert abs(calculate_psnr(noisy, clean) - oracle) < 1e-6
+
+
+def test_psnr_zero_mse_guard():
+    x = np.full((16, 16), 100, np.uint8)
+    assert calculate_psnr(x, x) == 99.0
+    assert calculate_psnr(x, x, zero_mse_psnr=None) == float("inf")
+
+
+def test_iq_iou_identity(rng):
+    clean, _ = _pair(rng)
+    ious = compute_iq_iou(clean, clean)
+    assert all(abs(v - 1.0) < 1e-12 for v in ious)
+
+
+def test_iq_iou_quantile_thresholds(rng):
+    clean, noisy = _pair(rng)
+    ious = compute_iq_iou(noisy, clean, low_q=0.25, high_q=0.75)
+    assert len(ious) == 3
+    assert all(0.0 <= v <= 1.0 for v in ious)
+    # mid class exists and with 25/75 quantiles covers ~half the GT pixels
+    from image_denoising_tpu.metrics import quantize_3class, to_gray_float01
+
+    g = to_gray_float01(clean)
+    t1, t2 = np.quantile(g, [0.25, 0.75])
+    lbl = quantize_3class(g, t1, t2)
+    frac_mid = (lbl == 1).mean()
+    assert 0.3 < frac_mid < 0.7
