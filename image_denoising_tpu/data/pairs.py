@@ -1,0 +1,189 @@
+"""Clean/noise image-pair datasets.
+
+Directory contract (reference ``train.py:208-228``): ``data_dir/clean/*`` and
+``data_dir/noise/*``, sorted filenames pairing 1:1. Pixels are decoded host-
+side (PIL handles TIFF/PNG, 8/16-bit) into float32 [0,255]; the /255
+normalization happens on device inside the jitted step (fused), matching the
+reference's in-loop ``/255.0``.
+
+TPU-first data path: instead of torch DataLoader worker processes, images are
+decoded once into resident numpy buffers (SEM sets are small), and batches are
+assembled as contiguous NHWC arrays; an optional native C++ threaded patch
+sampler (``native/``) accelerates random-crop assembly for large sets.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "list_pairs",
+    "load_image_f32",
+    "validation_denoise",
+    "DenoiseDataset",
+    "DenoisePatchDataset",
+]
+
+
+def list_pairs(data_dir: str, limit: Optional[int] = None) -> Tuple[List[str], List[str]]:
+    clean = sorted(glob.glob(os.path.join(data_dir, "clean", "*")))
+    noise = sorted(glob.glob(os.path.join(data_dir, "noise", "*")))
+    if limit is not None:
+        clean, noise = clean[:limit], noise[:limit]
+    return clean, noise
+
+
+def load_image_f32(path: str, convert_l: bool = False) -> np.ndarray:
+    """Decode to float32 in [0,255]. (H,W) for grayscale, (H,W,C) otherwise."""
+    from PIL import Image
+
+    im = Image.open(path)
+    if convert_l:
+        im = im.convert("L")
+    arr = np.asarray(im, dtype=np.float32)
+    return arr
+
+
+def validation_denoise(data_dir: str, limit: Optional[int] = None):
+    """All (or first ``limit``) clean/noise frames as float32 + path lists.
+
+    Mirrors ``utils_eval.py:6-17`` (and the ``[:10]`` variant of
+    ``finetune_iqsl.py:218-219`` via ``limit=10``).
+    """
+    clean_paths, noise_paths = list_pairs(data_dir, limit)
+    images_clean = [load_image_f32(p) for p in clean_paths]
+    images_noise = [load_image_f32(p) for p in noise_paths]
+    return images_clean, images_noise, clean_paths, noise_paths
+
+
+def _ensure_nhwc(img: np.ndarray) -> np.ndarray:
+    return img[..., None] if img.ndim == 2 else img
+
+
+class DenoiseDataset:
+    """Full-image pair dataset with shuffled batching.
+
+    Yields (clean, noisy) NHWC float32 in [0,255] — normalization is fused
+    on device. ``convert_l`` reproduces the train_opt.py variant that forces
+    grayscale + dtype-safe [0,1] conversion (we keep [0,255] and let callers
+    scale, for one consistent contract).
+    """
+
+    def __init__(self, data_dir: str, convert_l: bool = False, cache: bool = True):
+        self.clean_paths, self.noise_paths = list_pairs(data_dir)
+        if not self.clean_paths:
+            raise RuntimeError(f"no images under {data_dir}/clean")
+        self.convert_l = convert_l
+        self._cache: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+        if cache:
+            self._cache = [
+                (
+                    _ensure_nhwc(load_image_f32(c, convert_l)),
+                    _ensure_nhwc(load_image_f32(n, convert_l)),
+                )
+                for c, n in zip(self.clean_paths, self.noise_paths)
+            ]
+        print(f"fetch {len(self.clean_paths)} samples for training")
+
+    def __len__(self) -> int:
+        return len(self.clean_paths)
+
+    def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._cache is not None:
+            return self._cache[idx]
+        return (
+            _ensure_nhwc(load_image_f32(self.clean_paths[idx], self.convert_l)),
+            _ensure_nhwc(load_image_f32(self.noise_paths[idx], self.convert_l)),
+        )
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+        drop_last: bool = True,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        n_full = len(order) // batch_size
+        end = n_full * batch_size if drop_last else len(order)
+        for s in range(0, end, batch_size):
+            idxs = order[s : s + batch_size]
+            cleans = np.stack([self.get(i)[0] for i in idxs])
+            noisys = np.stack([self.get(i)[1] for i in idxs])
+            yield cleans, noisys
+
+
+class DenoisePatchDataset:
+    """Random same-coordinate patch pairs from the first ``max_images`` pairs.
+
+    Reference semantics (``finetune.py:94-150``): only the first 5 image pairs
+    are used; one epoch = n_images · patches_per_image random crops, scaled to
+    [0,1]. Decoded images stay resident; crops are cheap numpy slices (or the
+    native sampler when available).
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        patch_size: int,
+        patches_per_image: int,
+        max_images: int = 5,
+    ):
+        clean_paths, noise_paths = list_pairs(data_dir, limit=max_images)
+        assert len(clean_paths) == len(noise_paths) and clean_paths, (
+            "clean and noise must have the same number of images and be non-empty."
+        )
+        self.patch_size = patch_size
+        self.patches_per_image = patches_per_image
+        self.images = [
+            (_ensure_nhwc(load_image_f32(c)), _ensure_nhwc(load_image_f32(n)))
+            for c, n in zip(clean_paths, noise_paths)
+        ]
+        for c, n in self.images:
+            h, w = c.shape[:2]
+            assert h >= patch_size and w >= patch_size, (
+                f"Image size ({h},{w}) smaller than patch_size {patch_size}."
+            )
+        print(
+            f"B-domain: {len(self.images)} images, "
+            f"{patches_per_image} patches/image/epoch → {len(self)} samples/epoch."
+        )
+
+    def __len__(self) -> int:
+        return len(self.images) * self.patches_per_image
+
+    def sample(self, index: int, rng: np.random.Generator):
+        """One (clean, noisy) patch pair, NHWC-less [H,W,C] float32 in [0,1]."""
+        img_idx = index // self.patches_per_image
+        clean_img, noise_img = self.images[img_idx]
+        h, w = clean_img.shape[:2]
+        ps = self.patch_size
+        top = int(rng.integers(0, h - ps + 1))
+        left = int(rng.integers(0, w - ps + 1))
+        clean = clean_img[top : top + ps, left : left + ps] / 255.0
+        noise = noise_img[top : top + ps, left : left + ps] / 255.0
+        return clean.astype(np.float32), noise.astype(np.float32)
+
+    def batches(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+        drop_last: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        end = (len(order) // batch_size) * batch_size if drop_last else len(order)
+        for s in range(0, end, batch_size):
+            idxs = order[s : s + batch_size]
+            pairs = [self.sample(int(i), rng) for i in idxs]
+            yield (
+                np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]),
+            )

@@ -1,0 +1,19 @@
+from .tiled import (
+    denoise_tiled_hann,
+    denoise_tiled_pyramid,
+    denoise_whole_frame,
+    edge_aligned_grid,
+    hann_window_2d,
+    pyramid_weight_mask,
+    reference_tile_grid,
+)
+
+__all__ = [
+    "denoise_tiled_hann",
+    "denoise_tiled_pyramid",
+    "denoise_whole_frame",
+    "edge_aligned_grid",
+    "hann_window_2d",
+    "pyramid_weight_mask",
+    "reference_tile_grid",
+]

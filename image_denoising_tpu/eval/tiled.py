@@ -1,0 +1,260 @@
+"""Batched tiled full-frame inference with on-device window blending.
+
+The reference drives tiling from Python — one host↔device round trip per tile
+(``evaluation_704.py:82-112``, ``evaluation_704_iqsl_memory.py:1015-1067``) —
+its single biggest inference inefficiency. Here the tile grid is computed
+host-side (static per frame geometry), all tiles are gathered into one batch,
+the network runs once, and the weighted blend is a fused on-device
+scatter-add. One jitted call per frame size; XLA caches recompilations.
+
+Two blending regimes, matching the two reference evaluators:
+
+* pyramid — 352-tile, stride = ps − overlap, grid anchored at multiples of the
+  stride (tiles may overrun the frame; they are cropped and reflect-padded),
+  weight (1−|2y−1|)(1−|2x−1|) evaluated on the *unpadded* tile extent,
+  contribution==0 → 1 divide guard, uint8 via clip(p·255) with NO +0.5.
+* hann — 128-tile edge-aligned dedup grid (last tile snapped to the frame
+  edge), Hann²(periodic=False) window clamped to ≥1e-3, divide by (w+1e-8),
+  uint8 via clip(p·255 + 0.5).
+
+Reference quirk preserved-by-documentation: numpy reflect padding cannot
+extend past size−1, so the reference crashes when an edge tile is smaller than
+overlap+1 px; we mirror-extend cyclically in that regime instead of crashing
+(affects only geometries the reference cannot run at all).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pyramid_weight_mask",
+    "hann_window_2d",
+    "reference_tile_grid",
+    "edge_aligned_grid",
+    "denoise_whole_frame",
+    "denoise_tiled_pyramid",
+    "denoise_tiled_hann",
+]
+
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def pyramid_weight_mask(ps: int) -> np.ndarray:
+    """(1 − |2y−1|)(1 − |2x−1|) on a [0,1]-linspace grid (evaluation_704.py:62-68)."""
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, ps), np.linspace(0, 1, ps), indexing="ij"
+    )
+    return ((1 - np.abs(yy - 0.5) * 2) * (1 - np.abs(xx - 0.5) * 2)).astype(np.float32)
+
+
+def hann_window_2d(ps: int, clamp_min: float = 1e-3) -> np.ndarray:
+    """torch.hann_window(ps, periodic=False) outer product, clamped ≥ clamp_min."""
+    n = np.arange(ps, dtype=np.float64)
+    w1 = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / (ps - 1)))
+    w2 = np.outer(w1, w1)
+    return np.maximum(w2, clamp_min).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# grids
+# ---------------------------------------------------------------------------
+
+
+def reference_tile_grid(h: int, w: int, ps: int, stride: int):
+    """(r0, c0, th, tw) tuples for the stride-anchored, crop-overrun grid."""
+    grid = []
+    for r0 in range(0, h, stride):
+        for c0 in range(0, w, stride):
+            th = min(r0 + ps, h) - r0
+            tw = min(c0 + ps, w) - c0
+            grid.append((r0, c0, th, tw))
+    return grid
+
+
+def edge_aligned_grid(h: int, w: int, ps: int, overlap: int):
+    """(r0, c0) full-size tiles with a snapped last row/col, deduped+sorted
+    (evaluation_704_iqsl_memory.py:1041-1048)."""
+    assert h >= ps and w >= ps, f"Image ({h},{w}) smaller than patch_size {ps}"
+    assert overlap < ps, "overlap must be smaller than patch_size"
+    step = ps - overlap
+    ys = list(range(0, max(h - ps, 0) + 1, step))
+    xs = list(range(0, max(w - ps, 0) + 1, step))
+    if ys[-1] != h - ps:
+        ys.append(h - ps)
+    if xs[-1] != w - ps:
+        xs.append(w - ps)
+    ys = sorted(set(int(y) for y in ys))
+    xs = sorted(set(int(x) for x in xs))
+    return [(y, x) for y in ys for x in xs]
+
+
+def _reflect_indices(start: int, valid: int, ps: int) -> np.ndarray:
+    """Absolute image indices for a ps-long axis slice starting at ``start``
+    with ``valid`` in-bounds pixels, reflect-extended (REFLECT, edge excluded)
+    like np.pad(mode='reflect') on the cropped tile."""
+    idx = np.arange(ps)
+    out = np.empty(ps, dtype=np.int64)
+    inb = idx < valid
+    out[inb] = start + idx[inb]
+    if valid < ps:
+        # reflect cycle of length 2·(valid−1): [0..v-1, v-2..1] repeating
+        cycle = max(2 * (valid - 1), 1)
+        over = idx[~inb] % cycle
+        refl = np.where(over < valid, over, cycle - over)
+        out[~inb] = start + refl
+    return out
+
+
+# ---------------------------------------------------------------------------
+# engines
+# ---------------------------------------------------------------------------
+
+
+def _chunked_forward(model_call, tiles, batch: int):
+    """Run [T,ps,ps,C] through model_call in fixed-size chunks (pad last)."""
+    t = tiles.shape[0]
+    if batch <= 0 or batch >= t:
+        return model_call(tiles)
+    outs = []
+    for s in range(0, t, batch):
+        chunk = tiles[s : s + batch]
+        if chunk.shape[0] < batch:  # pad to keep one compiled shape
+            pad = batch - chunk.shape[0]
+            chunk = jnp.concatenate([chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            outs.append(model_call(chunk)[: tiles.shape[0] - s])
+        else:
+            outs.append(model_call(chunk))
+    return jnp.concatenate(outs, axis=0)
+
+
+def denoise_whole_frame(model_call, noisy01: np.ndarray):
+    """Single full-frame forward (evaluation.py semantics). noisy01: [H,W,C] in [0,1]."""
+    x = jnp.asarray(noisy01)[None]
+    pred = model_call(x)[0]
+    return np.asarray(jnp.clip(pred, 0.0, 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ps"))
+def _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h: int, w: int, ps: int):
+    """Scatter-add pred·mask into an (h, w) canvas with per-tile valid crops.
+
+    preds: [T,ps,ps]; r0s/c0s/ths/tws: [T] int32 tile geometry.
+    """
+    canvas = jnp.zeros((h, w), jnp.float32)
+    contrib = jnp.zeros((h, w), jnp.float32)
+
+    yy = jnp.arange(ps)
+    xx = jnp.arange(ps)
+
+    def body(i, carry):
+        canvas, contrib = carry
+        p = jnp.clip(preds[i], 0.0, 1.0)
+        th, tw = ths[i], tws[i]
+        valid = (yy[:, None] < th) & (xx[None, :] < tw)
+        wm = jnp.where(valid, mask, 0.0)
+        rows = r0s[i] + yy
+        cols = c0s[i] + xx
+        rows = jnp.clip(rows, 0, h - 1)
+        cols = jnp.clip(cols, 0, w - 1)
+        canvas = canvas.at[rows[:, None], cols[None, :]].add(p * wm)
+        contrib = contrib.at[rows[:, None], cols[None, :]].add(wm)
+        return canvas, contrib
+
+    canvas, contrib = jax.lax.fori_loop(0, preds.shape[0], body, (canvas, contrib))
+    contrib = jnp.where(contrib == 0, 1.0, contrib)
+    return canvas / contrib
+
+
+def denoise_tiled_pyramid(
+    model_call: Callable,
+    noisy255: np.ndarray,
+    ps: int = 352,
+    overlap: int = 64,
+    batch: int = 0,
+):
+    """Tiled-352 pyramid-blend full-frame denoise (evaluation_704.py engine).
+
+    noisy255: [H,W] uint8/float in [0,255]. Returns (pred01 [H,W] float32,
+    mean per-tile L1(pred, padded_input)).
+    """
+    noisy = np.asarray(noisy255, dtype=np.float32)
+    assert noisy.ndim == 2, "tiled pyramid eval is single-channel"
+    h, w = noisy.shape
+    stride = ps - overlap
+    grid = reference_tile_grid(h, w, ps, stride)
+
+    row_idx = np.stack([_reflect_indices(r0, th, ps) for (r0, _, th, _) in grid])
+    col_idx = np.stack([_reflect_indices(c0, tw, ps) for (_, c0, _, tw) in grid])
+
+    img = jnp.asarray(noisy / 255.0)
+    tiles = img[jnp.asarray(row_idx)[:, :, None], jnp.asarray(col_idx)[:, None, :]]
+    tiles = tiles[..., None]  # [T,ps,ps,1]
+
+    preds = _chunked_forward(model_call, tiles, batch)[..., 0]
+    l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
+
+    mask = jnp.asarray(pyramid_weight_mask(ps))
+    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
+    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
+    ths = jnp.asarray([g[2] for g in grid], jnp.int32)
+    tws = jnp.asarray([g[3] for g in grid], jnp.int32)
+    out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
+    return np.asarray(out), float(l1)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ps"))
+def _blend_hann(preds, r0s, c0s, window, h: int, w: int, ps: int):
+    out = jnp.zeros((h, w), jnp.float32)
+    wsum = jnp.zeros((h, w), jnp.float32)
+    yy = jnp.arange(ps)
+    xx = jnp.arange(ps)
+
+    def body(i, carry):
+        out, wsum = carry
+        rows = r0s[i] + yy
+        cols = c0s[i] + xx
+        out = out.at[rows[:, None], cols[None, :]].add(preds[i] * window)
+        wsum = wsum.at[rows[:, None], cols[None, :]].add(window)
+        return out, wsum
+
+    out, wsum = jax.lax.fori_loop(0, preds.shape[0], body, (out, wsum))
+    return out / (wsum + 1e-8)
+
+
+def denoise_tiled_hann(
+    model_call: Callable,
+    noisy255: np.ndarray,
+    ps: int = 128,
+    overlap: int = 64,
+    batch: int = 0,
+):
+    """Hann²-blended patchwise denoise (denoise_full_image_patchwise engine).
+
+    noisy255: [H,W] (or [H,W,1]) in [0,255]. Returns pred01 [H,W,1] float32 —
+    the reference returns (H,W,1) in [0,1].
+    """
+    noisy = np.asarray(noisy255, dtype=np.float32)
+    if noisy.ndim == 3 and noisy.shape[2] == 1:
+        noisy = noisy[..., 0]
+    h, w = noisy.shape
+    grid = edge_aligned_grid(h, w, ps, overlap)
+
+    img = jnp.asarray(noisy / 255.0)
+    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
+    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
+    yy = jnp.arange(ps)
+    tiles = img[(r0s[:, None] + yy)[:, :, None], (c0s[:, None] + yy)[:, None, :]]
+    tiles = tiles[..., None]
+
+    preds = _chunked_forward(model_call, tiles, batch)[..., 0]
+    window = jnp.asarray(hann_window_2d(ps))
+    out = _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
+    return np.asarray(out)[..., None]
