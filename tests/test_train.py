@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_denoising_tpu.models import UNet, ImprovedUNet
+from image_denoising_tpu.train import (
+    TrainState,
+    create_train_state,
+    hpo_milestones,
+    make_l1_train_step,
+    make_n2n_train_step,
+    make_structure_train_step,
+    multistep_lr,
+    reference_milestones,
+    set_learning_rate,
+)
+
+
+def test_reference_milestones():
+    assert reference_milestones(100) == [19, 39, 59, 79]
+    assert reference_milestones(50) == [9, 19, 29, 39]
+
+
+def test_hpo_milestones():
+    assert hpo_milestones(1) == []
+    assert hpo_milestones(4) == [2, 3]
+    assert hpo_milestones(20) == [10, 15]
+
+
+def test_multistep_lr_matches_torch():
+    torch = pytest.importorskip("torch")
+    lr0, gamma, n_epoch = 3e-4, 0.5, 20
+    ms = reference_milestones(n_epoch)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr0)
+    sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=ms, gamma=gamma)
+    for epoch in range(1, n_epoch + 1):
+        torch_lr = opt.param_groups[0]["lr"]
+        ours = multistep_lr(lr0, ms, gamma, epoch)
+        assert abs(ours - torch_lr) < 1e-12, f"epoch {epoch}: {ours} vs {torch_lr}"
+        sched.step()
+
+
+@pytest.fixture()
+def tiny_setup():
+    model = UNet(in_nc=1, out_nc=1, n_feature=8)
+    x = jnp.zeros((2, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    state = create_train_state(variables["params"], lr=1e-3)
+    return model, state
+
+
+def test_structure_step_reduces_loss(tiny_setup, rng):
+    model, state = tiny_setup
+    step = make_structure_train_step(model.apply)
+    clean = rng.random((2, 32, 32, 1), dtype=np.float32) * 255
+    noisy = np.clip(clean + rng.normal(0, 20, clean.shape), 0, 255).astype(np.float32)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, jnp.asarray(clean), jnp.asarray(noisy))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_l1_step_guards_skip_bad_batch(tiny_setup):
+    model, state = tiny_setup
+    step0 = int(state.step)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    step = make_l1_train_step(model.apply, guards=True)
+    bad = jnp.full((2, 32, 32, 1), jnp.nan)
+    good = jnp.full((2, 32, 32, 1), 0.5)
+    state2, m = step(state, bad, good)
+    assert not bool(m["ok"])
+    assert int(state2.skipped) == 1
+    assert int(state2.step) == step0
+    # params unchanged on skip
+    p1 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+    np.testing.assert_array_equal(p0, p1)
+
+    state3, m2 = step(state2, good, good)
+    assert bool(m2["ok"]) and int(state3.step) == step0 + 1
+
+
+def test_n2n_step_runs_and_learns(rng):
+    model = UNet(in_nc=1, out_nc=1, n_feature=8)
+    x = jnp.zeros((2, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    state = create_train_state(variables["params"], lr=1e-3)
+    from image_denoising_tpu.ops import AugmentNoise
+
+    aug = AugmentNoise("gauss25")
+    step = make_n2n_train_step(model.apply, noise_fn=aug.add_train_noise,
+                               increase_ratio=2.0, n_epoch=10)
+    clean = rng.random((2, 64, 64, 1), dtype=np.float32) * 255
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        state, m = step(state, jnp.asarray(clean), jnp.asarray(clean), sub,
+                        jnp.asarray(1, jnp.int32))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_set_learning_rate(tiny_setup):
+    _, state = tiny_setup
+    state = set_learning_rate(state, 1e-5)
+    assert abs(float(state.opt_state.hyperparams["learning_rate"]) - 1e-5) < 1e-12
+
+
+def test_dp_sharded_step_matches_single_device(rng):
+    """Same batch, 8-way data-parallel vs single device → same params."""
+    from image_denoising_tpu.parallel import make_mesh, replicate, shard_batch
+
+    model = UNet(in_nc=1, out_nc=1, n_feature=8)
+    x = jnp.zeros((8, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    clean = rng.random((8, 32, 32, 1), dtype=np.float32) * 255
+    noisy = np.clip(clean + rng.normal(0, 20, clean.shape), 0, 255).astype(np.float32)
+
+    # deep-copy: replication may alias device-0 buffers, and the train step
+    # donates its input state
+    mesh = make_mesh(8)
+    replicated_params = replicate(
+        mesh, jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), variables["params"])
+    )
+
+    # single-device run
+    state1 = create_train_state(variables["params"], lr=1e-3)
+    step1 = make_structure_train_step(model.apply)
+    state1, m1 = step1(state1, jnp.asarray(clean), jnp.asarray(noisy))
+
+    # sharded run
+    state2 = create_train_state(replicated_params, lr=1e-3)
+    step2 = make_structure_train_step(model.apply)
+    cb, nb = shard_batch(mesh, (clean, noisy))
+    state2, m2 = step2(state2, cb, nb)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(state2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
