@@ -1,0 +1,24 @@
+from .output_adapter import OutputAdapter
+from .memory_adapters import (
+    MemoryResidualAdapter,
+    LowFrequencyBlendAdapter,
+    GlobalMonotoneToneCurveAdapter,
+    HyperGatedResidualAdapter,
+    HyperGatedResidualAdapterFFT,
+    MEMORY_ADAPTERS,
+    build_memory_adapter,
+)
+from .wrappers import DenoiserWithAdapter, DenoiserWithMemoryAdapter
+
+__all__ = [
+    "OutputAdapter",
+    "MemoryResidualAdapter",
+    "LowFrequencyBlendAdapter",
+    "GlobalMonotoneToneCurveAdapter",
+    "HyperGatedResidualAdapter",
+    "HyperGatedResidualAdapterFFT",
+    "MEMORY_ADAPTERS",
+    "build_memory_adapter",
+    "DenoiserWithAdapter",
+    "DenoiserWithMemoryAdapter",
+]

@@ -1,0 +1,89 @@
+"""Frozen-base + adapter wrapper modules.
+
+* ``DenoiserWithAdapter`` — reference ``adapter.py:29-67``: frozen base
+  forward (stop_gradient ≙ torch no_grad), OutputAdapter refinement. Params
+  tree = {base: …, adapter: …} so the ``epoch_adapter`` (full wrapper) and
+  ``epoch_adapter_only`` checkpoint roles map directly to subtrees.
+* ``DenoiserWithMemoryAdapter`` — reference ``finetune_memory.py:1195-1291``:
+  frozen base + selectable memory adapter (v1–v5) + top-1 L2 retrieval over a
+  (noise, clean) patch bank. The banks are *inputs*, not params (the reference
+  registers them as buffers and never checkpoints them — rebuilt from data).
+
+Freezing is expressed at the optimizer level (gradients masked to the adapter
+subtree — see train/finetune step factories); stop_gradient on the base output
+gives the same backward cut as torch's no_grad wrapper.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .memory_adapters import build_memory_adapter
+from .output_adapter import OutputAdapter
+
+__all__ = ["DenoiserWithAdapter", "DenoiserWithMemoryAdapter"]
+
+
+class DenoiserWithAdapter(nn.Module):
+    base: nn.Module
+    in_channels: int = 1
+    hidden_channels: int = 16
+    use_no_grad_for_base: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        base_out = self.base(x)
+        if self.use_no_grad_for_base:
+            base_out = jax.lax.stop_gradient(base_out)
+        return OutputAdapter(
+            in_channels=self.in_channels,
+            hidden_channels=self.hidden_channels,
+            name="adapter",
+        )(x, base_out)
+
+
+def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None):
+    """Top-1 L2 retrieval: ‖noisy − bank‖² via a²+b²−2ab matmul + argmin.
+
+    noisy: [B,P,P,C]; memory_noise_flat: [N,D] (D = P·P·C);
+    memory_clean: [N,P,P,C]. Returns [B,P,P,C].
+
+    TPU notes: the [B,N] distance matrix comes from one MXU matmul with f32
+    accumulation; jnp.argmin tie-breaks to the first minimum exactly like
+    torch. The banks live in HBM; the gather of the winning clean patches is
+    one dynamic gather.
+    """
+    b = noisy.shape[0]
+    noisy_flat = jax.lax.stop_gradient(noisy).reshape(b, -1)
+    a2 = jnp.sum(noisy_flat**2, axis=1, keepdims=True)  # [B,1]
+    if sq_norms is None:
+        sq_norms = jnp.sum(memory_noise_flat.astype(jnp.float32) ** 2, axis=1)
+    ab = jax.lax.dot_general(
+        noisy_flat, memory_noise_flat,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B,N]
+    dists = a2 + sq_norms[None, :] - 2.0 * ab
+    idx = jnp.argmin(dists, axis=1)
+    return jnp.take(memory_clean, idx, axis=0)
+
+
+class DenoiserWithMemoryAdapter(nn.Module):
+    base: nn.Module
+    in_channels: int = 1
+    hidden_channels: int = 16
+    variant: str = "hyper_gated_fft"  # v5 — the reference's active adapter
+
+    @nn.compact
+    def __call__(self, noisy, memory_noise_flat, memory_clean, bank_sq_norms=None):
+        base_out = jax.lax.stop_gradient(self.base(noisy))
+        mem_clean = select_memory_patch(
+            noisy, memory_noise_flat, memory_clean, bank_sq_norms
+        )
+        adapter = build_memory_adapter(
+            self.variant, self.in_channels, self.hidden_channels, name="adapter"
+        )
+        return adapter(noisy, base_out, mem_clean)

@@ -120,13 +120,17 @@ def _seq_convs(sd, prefix, torch_idx, names):
 
 
 def _memory_adapter(sd, variant: str, prefix="") -> Dict[str, Any]:
-    """Key maps for the five memory adapters (finetune_memory.py:530-1192)."""
+    """Key maps for the five memory adapters (finetune_memory.py:530-1192).
+    Flax module names must match adapters/memory_adapters.py."""
     pre = f"{prefix}." if prefix else ""
     if variant == "memory_residual":
-        return _seq_convs(sd, f"{pre}body", (0, 2, 4), ("conv0", "conv1", "conv2"))
+        return {"body": _seq_convs(sd, f"{pre}body", (0, 2, 4),
+                                   ("conv0", "conv1", "conv2"))}
     if variant == "lowfreq_blend":
         return {
-            "gate": _seq_convs(sd, f"{pre}gate_net", (0, 2), ("conv0", "conv1")),
+            "gate_conv0": _conv(sd, f"{pre}gate_net.0"),
+            # gate_conv1 is a bare flax nn.Conv (no wrapper submodule)
+            "gate_conv1": _conv(sd, f"{pre}gate_net.2")["conv"],
         }
     if variant == "tone_curve":
         return {
@@ -137,8 +141,10 @@ def _memory_adapter(sd, variant: str, prefix="") -> Dict[str, Any]:
         return {
             "local": _seq_convs(sd, f"{pre}local_net", (0, 2, 4),
                                 ("conv0", "conv1", "conv2")),
-            "hyper0": _dense(sd, f"{pre}hyper_mlp.0"),
-            "hyper1": _dense(sd, f"{pre}hyper_mlp.2"),
+            "hyper": {
+                "hyper0": _dense(sd, f"{pre}hyper_mlp.0"),
+                "hyper1": _dense(sd, f"{pre}hyper_mlp.2"),
+            },
         }
     raise ValueError(f"unknown memory adapter variant {variant!r}")
 

@@ -1,0 +1,131 @@
+"""Shared CLI plumbing: model construction + checkpoint loading + image IO.
+
+The reference CLIs accept ``--log_name`` substring dispatch (train/eval) or an
+explicit ``--arch`` (finetune); we support both everywhere. Checkpoints may be
+our native ``.ckpt`` msgpack pytrees or reference ``.pth`` files (converted on
+the fly through the import shim).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "build_network",
+    "load_params",
+    "save_png",
+    "MetricsWriter",
+    "jitted_apply",
+]
+
+
+def build_network(
+    arch: Optional[str],
+    log_name: Optional[str],
+    n_channel: int,
+    n_feature: int,
+    dtype=None,
+):
+    """Explicit --arch wins; otherwise reference log_name substring dispatch."""
+    from ..models.registry import build_model, build_model_from_log_name
+
+    if arch:
+        return build_model(arch, n_channel, n_feature, dtype=dtype)
+    if log_name:
+        return build_model_from_log_name(log_name, n_channel, n_feature, dtype=dtype)
+    raise ValueError("need --arch or --log_name to select an architecture")
+
+
+def _arch_name(model) -> str:
+    from ..models import ImprovedUNet, RESNET, UNet
+
+    if isinstance(model, ImprovedUNet):
+        return "UNetImproved"
+    if isinstance(model, RESNET):
+        return "RESNET"
+    if isinstance(model, UNet):
+        return "UNet"
+    raise TypeError(type(model))
+
+
+def load_params(ckpt_path: str, model) -> Any:
+    """Load .ckpt or reference .pth base-model weights for ``model``."""
+    from ..ckpt import load_checkpoint
+
+    return load_checkpoint(ckpt_path, arch=_arch_name(model))
+
+
+def jitted_apply(model, params):
+    """Closure: x(NHWC float01) → y, jitted with params captured as constants
+    donated-free (recompiles only per input shape)."""
+    import jax
+
+    @jax.jit
+    def fwd(x):
+        return model.apply({"params": params}, x)
+
+    return fwd
+
+
+def save_png(arr: np.ndarray, path: str, mode: str = "RGB") -> None:
+    """uint8 array → PNG with PIL convert semantics (reference saves RGB/L)."""
+    from PIL import Image
+
+    img = Image.fromarray(arr)
+    if mode:
+        img = img.convert(mode)
+    img.save(path)
+
+
+class MetricsWriter:
+    """Accumulates per-image metrics and writes the reference metrics.txt."""
+
+    def __init__(self):
+        self.psnr, self.ssim, self.l1 = [], [], []
+        self.iou_dark, self.iou_mid, self.iou_bright = [], [], []
+
+    def add(self, psnr=None, ssim=None, l1=None, ious=None):
+        if psnr is not None:
+            self.psnr.append(psnr)
+        if ssim is not None:
+            self.ssim.append(ssim)
+        if l1 is not None:
+            self.l1.append(l1)
+        if ious is not None:
+            self.iou_dark.append(ious[0])
+            self.iou_mid.append(ious[1])
+            self.iou_bright.append(ious[2])
+
+    def averages(self):
+        out = {}
+        if self.psnr:
+            out["psnr"] = float(np.mean(self.psnr))
+        if self.ssim:
+            out["ssim"] = float(np.mean(self.ssim))
+        if self.l1:
+            out["l1"] = float(np.mean(self.l1))
+        if self.iou_dark:
+            out["iou_dark"] = float(np.nanmean(self.iou_dark))
+            out["iou_mid"] = float(np.nanmean(self.iou_mid))
+            out["iou_bright"] = float(np.nanmean(self.iou_bright))
+        return out
+
+    def write(self, save_dir: str) -> str:
+        avg = self.averages()
+        path = os.path.join(save_dir, "metrics.txt")
+        with open(path, "w") as f:
+            if "psnr" in avg:
+                f.write(f"Average PSNR: {avg['psnr']:.2f}\n")
+            if "ssim" in avg:
+                f.write(f"Average SSIM: {avg['ssim']:.4f}\n")
+            if "l1" in avg:
+                f.write(f"Average L1 Loss: {avg['l1']:.6f}\n")
+            if "iou_dark" in avg:
+                f.write(
+                    "Average 3-class IoU (dark/mid/bright): "
+                    f"{avg['iou_dark']:.4f}, {avg['iou_mid']:.4f}, {avg['iou_bright']:.4f}\n"
+                )
+        print(f"Saved metrics to {path}")
+        return path

@@ -1,0 +1,91 @@
+"""Whole-image evaluation CLI — reference-compatible ``evaluation.py``.
+
+Semantics (``evaluation.py:23-117``): one full-frame forward per noisy image,
+L1 recorded against the *noisy input* (self-consistency proxy — documented
+reference behavior), PNGs for noisy/clean/denoised, PSNR/SSIM vs clean,
+averages to ``metrics.txt``. uint8 via clip(p·255 + 0.5).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", type=str, default="./dataset/m1")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help=".ckpt (native) or .pth (reference) base checkpoint")
+    parser.add_argument("--save_dir", type=str, default="./eval_results")
+    parser.add_argument("--n_feature", type=int, default=48)
+    parser.add_argument("--n_channel", type=int, default=1)
+    parser.add_argument("--log_name", type=str, default="UNetImproved")
+    parser.add_argument("--arch", type=str, default=None,
+                        help="explicit architecture (overrides log_name dispatch)")
+    parser.add_argument("--gpu_devices", default="0", type=str,
+                        help="accepted for reference compatibility; unused on TPU")
+    return parser.parse_args(argv)
+
+
+def evaluate(opt):
+    import jax.numpy as jnp
+
+    from ..data import validation_denoise
+    from ..metrics import calculate_psnr, calculate_ssim
+    from .common import MetricsWriter, build_network, jitted_apply, load_params, save_png
+
+    os.makedirs(opt.save_dir, exist_ok=True)
+    clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
+
+    network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature)
+    params = load_params(opt.checkpoint, network)
+    fwd = jitted_apply(network, params)
+    print(f"Loaded checkpoint from {opt.checkpoint}")
+
+    writer = MetricsWriter()
+    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
+        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+
+        noisy_f = np.asarray(noisy, dtype=np.float32)
+        x = noisy_f / 255.0
+        if x.ndim == 2:
+            x = x[..., None]
+        pred = fwd(jnp.asarray(x)[None])[0]
+
+        l1_val = float(jnp.mean(jnp.abs(pred - jnp.asarray(x))))
+
+        pred_np = np.clip(np.asarray(pred), 0, 1).squeeze()
+        pred255 = np.clip(pred_np * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        clean255 = np.asarray(clean).astype(np.uint8)
+        noisy255 = noisy_f.astype(np.uint8)
+
+        save_png(noisy255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"))
+        save_png(clean255, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"))
+        save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"))
+
+        psnr_val = calculate_psnr(pred255, clean255, zero_mse_psnr=None)
+        ssim_val = calculate_ssim(pred255, clean255)
+        writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val)
+        print(
+            f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> "
+            f"PSNR: {psnr_val:.2f}, SSIM: {ssim_val:.4f}, L1: {l1_val:.6f}"
+        )
+
+    writer.write(opt.save_dir)
+    avg = writer.averages()
+    print(
+        f"Average PSNR: {avg['psnr']:.2f}, Average SSIM: {avg['ssim']:.4f}, "
+        f"Average L1 Loss: {avg['l1']:.6f}"
+    )
+    return avg
+
+
+def main(argv=None):
+    return evaluate(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

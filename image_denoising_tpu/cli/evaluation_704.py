@@ -1,0 +1,101 @@
+"""Tiled "704" evaluation CLI — reference-compatible ``evaluation_704.py``.
+
+352×352 tiles, 64-px overlap (stride 288), reflect-padded ragged edge tiles,
+pyramid weight blending, uint8 via clip(p·255) with NO +0.5 (reference quirk,
+``evaluation_704.py:120``). All tiles run as ONE batched jitted forward with
+the blend fused on device (vs. the reference's per-tile host round trips).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", type=str, default="./dataset/m1")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--save_dir", type=str, default="./eval_results")
+    parser.add_argument("--n_feature", type=int, default=48)
+    parser.add_argument("--n_channel", type=int, default=1)
+    parser.add_argument("--log_name", type=str, default="UNetImproved")
+    parser.add_argument("--arch", type=str, default=None)
+    parser.add_argument("--gpu_devices", default="0", type=str)
+    parser.add_argument("--tile", type=int, default=352)
+    parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument("--tile_batch", type=int, default=0,
+                        help="forward chunk size; 0 = all tiles in one batch")
+    # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
+    parser.add_argument("--compute_iq_iou", action="store_true")
+    parser.add_argument("--iq_low_q", type=float, default=0.25)
+    parser.add_argument("--iq_high_q", type=float, default=0.75)
+    return parser.parse_args(argv)
+
+
+def evaluate(opt):
+    from ..data import validation_denoise
+    from ..eval import denoise_tiled_pyramid
+    from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
+    from .common import MetricsWriter, build_network, jitted_apply, load_params, save_png
+
+    os.makedirs(opt.save_dir, exist_ok=True)
+    clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
+
+    network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature)
+    params = load_params(opt.checkpoint, network)
+    fwd = jitted_apply(network, params)
+    print(f"Loaded checkpoint from {opt.checkpoint}")
+
+    writer = MetricsWriter()
+    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
+        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+
+        clean_u8 = np.asarray(clean).astype(np.uint8)
+        noisy_u8 = np.asarray(noisy).astype(np.uint8)
+
+        pred01, l1_val = denoise_tiled_pyramid(
+            fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap, batch=opt.tile_batch
+        )
+        pred255 = np.clip(pred01 * 255.0, 0, 255).astype(np.uint8)
+
+        save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
+        save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)
+        save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"), mode=None)
+
+        psnr_val = calculate_psnr(pred255, clean_u8, zero_mse_psnr=None)
+        ssim_val = calculate_ssim(pred255, clean_u8)
+        ious = None
+        msg = (
+            f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> "
+            f"PSNR: {psnr_val:.2f}, SSIM: {ssim_val:.4f}, L1: {l1_val:.6f}"
+        )
+        if opt.compute_iq_iou:
+            ious = compute_iq_iou(pred255, clean_u8, opt.iq_low_q, opt.iq_high_q)
+            msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
+        writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val, ious=ious)
+        print(msg)
+
+    writer.write(opt.save_dir)
+    avg = writer.averages()
+    print(
+        f"Average PSNR: {avg['psnr']:.2f}, Average SSIM: {avg['ssim']:.4f}, "
+        f"Average L1 Loss: {avg['l1']:.6f}"
+    )
+    if opt.compute_iq_iou and "iou_dark" in avg:
+        print(
+            "Average IQ-3class IoU - "
+            f"dark: {avg['iou_dark']:.4f}, mid: {avg['iou_mid']:.4f}, "
+            f"bright: {avg['iou_bright']:.4f}"
+        )
+    return avg
+
+
+def main(argv=None):
+    return evaluate(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

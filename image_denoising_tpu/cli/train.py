@@ -1,0 +1,189 @@
+"""A-domain trainer CLI — reference-compatible ``train.py``.
+
+Default mode reproduces the reference trainer: full-frame pairs, double
+forward (noisy and clean), Structure loss (α·L1 + 0.5·TV + 0.5·consistency),
+Adam(3e-4), MultiStepLR γ=0.5 at {20,40,60,80}%·epochs−1, epoch-end checkpoint
++ validation render + A_log.csv.
+
+``--loss n2n`` activates the Neighbor2Neighbor self-supervised path that the
+reference documents as the intended strategy (training_script.md) but leaves
+dormant: synthetic noise (--noisetype), the random 2×2 mask-pair subsampler,
+and the Λ-regularized loss — all fused into one jitted device program.
+
+TPU-native: the whole step (normalize → forward(s) → loss → backward → Adam)
+is one XLA program with donated buffers; data parallelism shards the batch
+over the device mesh (--parallel uses all visible devices).
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--noisetype", type=str, default="gauss25")
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--save_model_path", type=str, default="./results")
+    parser.add_argument("--log_name", type=str, default="unet_gauss25_b4e100r02")
+    parser.add_argument("--gpu_devices", default="0", type=str)
+    parser.add_argument("--parallel", action="store_true",
+                        help="shard the batch over all devices in the mesh")
+    parser.add_argument("--n_feature", type=int, default=48)
+    parser.add_argument("--n_channel", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--gamma", type=float, default=0.5)
+    parser.add_argument("--n_epoch", type=int, default=100)
+    parser.add_argument("--n_snapshot", type=int, default=1)
+    parser.add_argument("--batchsize", type=int, default=4)
+    parser.add_argument("--Lambda1", type=float, default=1.0)
+    parser.add_argument("--Lambda2", type=float, default=1.0)
+    parser.add_argument("--increase_ratio", type=float, default=2.0)
+    # extensions beyond the reference flag set
+    parser.add_argument("--arch", type=str, default=None,
+                        help="explicit arch; default = log_name substring dispatch")
+    parser.add_argument("--loss", type=str, default="structure",
+                        choices=["structure", "n2n"],
+                        help="structure = reference train.py; n2n = documented N2N recipe")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_steps_per_epoch", type=int, default=0,
+                        help="debug/bench cap; 0 = full epoch")
+    opt, _ = parser.parse_known_args(argv)
+    return opt
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    systime = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M")
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ckpt import save_checkpoint
+    from ..data import DenoiseDataset, validation_denoise
+    from ..metrics import calculate_psnr
+    from ..ops import AugmentNoise, OperationSeed
+    from ..parallel import make_mesh, replicate, shard_batch
+    from ..train import (
+        create_train_state,
+        make_n2n_train_step,
+        make_structure_train_step,
+        multistep_lr,
+        reference_milestones,
+        set_learning_rate,
+    )
+    from .common import build_network, save_png
+
+    dataset = DenoiseDataset(opt.data_dir)
+    valid = validation_denoise(opt.data_dir)
+
+    network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature)
+
+    # infer frame geometry from the first pair for init
+    c0, n0 = dataset.get(0)
+    init_x = jnp.zeros((1,) + c0.shape, jnp.float32)
+    variables = jax.jit(network.init)(jax.random.PRNGKey(opt.seed), init_x)
+    params = variables["params"]
+
+    mesh = None
+    if opt.parallel:
+        mesh = make_mesh()
+        params = replicate(mesh, params)
+        print(f"data-parallel over {len(jax.devices())} devices")
+
+    state = create_train_state(params, lr=opt.lr)
+    milestones = reference_milestones(opt.n_epoch)
+
+    if opt.loss == "structure":
+        step_fn = make_structure_train_step(network.apply, alpha=opt.Lambda1)
+    else:
+        aug = AugmentNoise(opt.noisetype)
+        step_fn = make_n2n_train_step(
+            network.apply, noise_fn=aug.add_train_noise,
+            increase_ratio=opt.increase_ratio, n_epoch=opt.n_epoch,
+        )
+    opkeys = OperationSeed(opt.seed)
+
+    save_model_path = os.path.join(opt.save_model_path, opt.log_name, systime)
+    save_checkpoint(state.params, save_model_path, "model", 0)
+    print("init finish")
+    print(f"Batchsize={opt.batchsize}, number of epoch={opt.n_epoch}")
+
+    rng = np.random.default_rng(opt.seed)
+    for epoch in range(1, opt.n_epoch + 1):
+        epoch_st = time.time()
+        lr = multistep_lr(opt.lr, milestones, opt.gamma, epoch)
+        state = set_learning_rate(state, lr)
+        print(f"LearningRate of Epoch {epoch} = {lr}")
+
+        losses = []
+        for it, (clean, noisy) in enumerate(
+            dataset.batches(opt.batchsize, rng, shuffle=True, drop_last=True)
+        ):
+            if opt.max_steps_per_epoch and it >= opt.max_steps_per_epoch:
+                break
+            st = time.time()
+            batch = (clean, noisy)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            if opt.loss == "structure":
+                state, metrics = step_fn(state, batch[0], batch[1])
+            else:
+                state, metrics = step_fn(
+                    state, batch[0], batch[1], opkeys.next(),
+                    jnp.asarray(epoch, jnp.int32),
+                )
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            print(
+                f"{epoch:04d} {it:05d} Loss_Full={loss:.6f} "
+                f"Time={time.time() - st:.4f}"
+            )
+
+        train_time = time.time() - epoch_st
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        print(f"Training Time/Epoch:{train_time} \n Mean loss:{mean_loss}")
+
+        if epoch % opt.n_snapshot == 0 or epoch == opt.n_epoch:
+            eval_st = time.time()
+            save_checkpoint(state.params, save_model_path, "model", epoch)
+            validation_path = os.path.join(save_model_path, "validation")
+            os.makedirs(validation_path, exist_ok=True)
+
+            fwd = jax.jit(lambda x: network.apply({"params": state.params}, x))
+            for i in range(len(valid[0])):
+                clean_np, noisy_np = valid[0][i], valid[1][i]
+                clean_name = os.path.basename(valid[2][i]).split(".")[0]
+                noise_name = os.path.basename(valid[3][i]).split(".")[0]
+                x = np.asarray(noisy_np, np.float32) / 255.0
+                if x.ndim == 2:
+                    x = x[..., None]
+                pred = np.asarray(fwd(jnp.asarray(x)[None])[0])
+                pred = np.clip(pred, 0, 1).squeeze()
+                pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+                if i == 0 and epoch == opt.n_snapshot:
+                    save_png(np.asarray(clean_np).astype(np.uint8),
+                             os.path.join(validation_path,
+                                          f"{clean_name}_{i:03d}-{epoch:03d}_clean.png"))
+                    save_png(np.asarray(noisy_np).astype(np.uint8),
+                             os.path.join(validation_path,
+                                          f"{noise_name}_{i:03d}-{epoch:03d}_noisy.png"))
+                if i == 0:
+                    save_png(pred255,
+                             os.path.join(validation_path,
+                                          f"{noise_name}_{i:03d}-{epoch:03d}_denoised.png"))
+
+            with open(os.path.join(validation_path, "A_log.csv"), "a") as f:
+                f.write(f"epoch{epoch}, loss_{mean_loss}, train_time_{train_time}\n")
+            print(f"Evaluation Time/Epoch:{time.time() - eval_st}")
+
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,8 @@ from .tiled import (
     denoise_whole_frame,
     edge_aligned_grid,
     hann_window_2d,
+    make_tiled_hann_runner,
+    make_tiled_pyramid_runner,
     pyramid_weight_mask,
     reference_tile_grid,
 )
@@ -14,6 +16,8 @@ __all__ = [
     "denoise_whole_frame",
     "edge_aligned_grid",
     "hann_window_2d",
+    "make_tiled_hann_runner",
+    "make_tiled_pyramid_runner",
     "pyramid_weight_mask",
     "reference_tile_grid",
 ]

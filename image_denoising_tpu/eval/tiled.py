@@ -135,6 +135,12 @@ def _chunked_forward(model_call, tiles, batch: int):
     return jnp.concatenate(outs, axis=0)
 
 
+# Cache of fully-jitted per-frame programs keyed on (engine, model_call id,
+# geometry). Keeps eager dispatch off the hot path — essential when the TPU
+# sits behind a high-latency transport where every eager op is a round trip.
+_RUNNER_CACHE: dict = {}
+
+
 def denoise_whole_frame(model_call, noisy01: np.ndarray):
     """Single full-frame forward (evaluation.py semantics). noisy01: [H,W,C] in [0,1]."""
     x = jnp.asarray(noisy01)[None]
@@ -173,6 +179,42 @@ def _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h: int, w: int, ps: int):
     return canvas / contrib
 
 
+def make_tiled_pyramid_runner(
+    model_call: Callable, h: int, w: int, ps: int = 352, overlap: int = 64,
+    batch: int = 0,
+):
+    """One fully-jitted program: frame [H,W] float255 → (pred01, mean tile L1).
+
+    Gather (with reflect edge handling), batched forward, weighting, and the
+    scatter-add blend all fuse into a single device program — zero eager ops
+    per frame after the first call.
+    """
+    stride = ps - overlap
+    grid = reference_tile_grid(h, w, ps, stride)
+    row_idx = jnp.asarray(
+        np.stack([_reflect_indices(r0, th, ps) for (r0, _, th, _) in grid])
+    )
+    col_idx = jnp.asarray(
+        np.stack([_reflect_indices(c0, tw, ps) for (_, c0, _, tw) in grid])
+    )
+    mask = jnp.asarray(pyramid_weight_mask(ps))
+    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
+    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
+    ths = jnp.asarray([g[2] for g in grid], jnp.int32)
+    tws = jnp.asarray([g[3] for g in grid], jnp.int32)
+
+    @jax.jit
+    def run(noisy255):
+        img = noisy255.astype(jnp.float32) / 255.0
+        tiles = img[row_idx[:, :, None], col_idx[:, None, :]][..., None]
+        preds = _chunked_forward(model_call, tiles, batch)[..., 0]
+        l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
+        out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
+        return out, l1
+
+    return run
+
+
 def denoise_tiled_pyramid(
     model_call: Callable,
     noisy255: np.ndarray,
@@ -183,30 +225,19 @@ def denoise_tiled_pyramid(
     """Tiled-352 pyramid-blend full-frame denoise (evaluation_704.py engine).
 
     noisy255: [H,W] uint8/float in [0,255]. Returns (pred01 [H,W] float32,
-    mean per-tile L1(pred, padded_input)).
+    mean per-tile L1(pred, padded_input)). Jitted programs are cached per
+    (model, geometry).
     """
-    noisy = np.asarray(noisy255, dtype=np.float32)
+    noisy = np.asarray(noisy255)
     assert noisy.ndim == 2, "tiled pyramid eval is single-channel"
     h, w = noisy.shape
-    stride = ps - overlap
-    grid = reference_tile_grid(h, w, ps, stride)
-
-    row_idx = np.stack([_reflect_indices(r0, th, ps) for (r0, _, th, _) in grid])
-    col_idx = np.stack([_reflect_indices(c0, tw, ps) for (_, c0, _, tw) in grid])
-
-    img = jnp.asarray(noisy / 255.0)
-    tiles = img[jnp.asarray(row_idx)[:, :, None], jnp.asarray(col_idx)[:, None, :]]
-    tiles = tiles[..., None]  # [T,ps,ps,1]
-
-    preds = _chunked_forward(model_call, tiles, batch)[..., 0]
-    l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
-
-    mask = jnp.asarray(pyramid_weight_mask(ps))
-    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
-    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
-    ths = jnp.asarray([g[2] for g in grid], jnp.int32)
-    tws = jnp.asarray([g[3] for g in grid], jnp.int32)
-    out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
+    key = ("pyr", id(model_call), h, w, ps, overlap, batch)
+    run = _RUNNER_CACHE.get(key)
+    if run is None:
+        run = _RUNNER_CACHE[key] = make_tiled_pyramid_runner(
+            model_call, h, w, ps, overlap, batch
+        )
+    out, l1 = run(jnp.asarray(noisy))
     return np.asarray(out), float(l1)
 
 
@@ -229,6 +260,28 @@ def _blend_hann(preds, r0s, c0s, window, h: int, w: int, ps: int):
     return out / (wsum + 1e-8)
 
 
+def make_tiled_hann_runner(
+    model_call: Callable, h: int, w: int, ps: int = 128, overlap: int = 64,
+    batch: int = 0,
+):
+    """One fully-jitted program: frame [H,W] float255 → pred01 [H,W]."""
+    grid = edge_aligned_grid(h, w, ps, overlap)
+    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
+    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
+    window = jnp.asarray(hann_window_2d(ps))
+
+    @jax.jit
+    def run(noisy255):
+        img = noisy255.astype(jnp.float32) / 255.0
+        yy = jnp.arange(ps)
+        tiles = img[(r0s[:, None] + yy)[:, :, None], (c0s[:, None] + yy)[:, None, :]]
+        tiles = tiles[..., None]
+        preds = _chunked_forward(model_call, tiles, batch)[..., 0]
+        return _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
+
+    return run
+
+
 def denoise_tiled_hann(
     model_call: Callable,
     noisy255: np.ndarray,
@@ -239,22 +292,17 @@ def denoise_tiled_hann(
     """Hann²-blended patchwise denoise (denoise_full_image_patchwise engine).
 
     noisy255: [H,W] (or [H,W,1]) in [0,255]. Returns pred01 [H,W,1] float32 —
-    the reference returns (H,W,1) in [0,1].
+    the reference returns (H,W,1) in [0,1]. Jitted programs cached per
+    (model, geometry).
     """
-    noisy = np.asarray(noisy255, dtype=np.float32)
+    noisy = np.asarray(noisy255)
     if noisy.ndim == 3 and noisy.shape[2] == 1:
         noisy = noisy[..., 0]
     h, w = noisy.shape
-    grid = edge_aligned_grid(h, w, ps, overlap)
-
-    img = jnp.asarray(noisy / 255.0)
-    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
-    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
-    yy = jnp.arange(ps)
-    tiles = img[(r0s[:, None] + yy)[:, :, None], (c0s[:, None] + yy)[:, None, :]]
-    tiles = tiles[..., None]
-
-    preds = _chunked_forward(model_call, tiles, batch)[..., 0]
-    window = jnp.asarray(hann_window_2d(ps))
-    out = _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
-    return np.asarray(out)[..., None]
+    key = ("hann", id(model_call), h, w, ps, overlap, batch)
+    run = _RUNNER_CACHE.get(key)
+    if run is None:
+        run = _RUNNER_CACHE[key] = make_tiled_hann_runner(
+            model_call, h, w, ps, overlap, batch
+        )
+    return np.asarray(run(jnp.asarray(noisy)))[..., None]

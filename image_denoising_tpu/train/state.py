@@ -34,7 +34,9 @@ def create_train_state(params, lr: float = 3e-4, weight_decay: float = 0.0) -> T
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     return TrainState(
         params=params,
-        opt_state=tx.init(params),
+        # jitted: eager per-leaf zeros_like dispatch is a round trip per op on
+        # remote-transport TPU backends
+        opt_state=jax.jit(tx.init)(params),
         step=jnp.zeros((), jnp.int32),
         skipped=jnp.zeros((), jnp.int32),
         tx=tx,

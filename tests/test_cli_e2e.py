@@ -1,0 +1,98 @@
+"""End-to-end CLI smoke tests on a synthetic SEM-like fixture set."""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("semdata")
+    (root / "clean").mkdir()
+    (root / "noise").mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        # structured "SEM" pattern: blobs + gradient
+        yy, xx = np.mgrid[0:64, 0:64]
+        clean = (
+            120
+            + 60 * np.sin(xx / 6.0 + i)
+            + 40 * ((yy // 16 + xx // 16) % 2)
+        ).clip(0, 255).astype(np.uint8)
+        noisy = np.clip(
+            clean.astype(np.float32) + rng.normal(0, 15, clean.shape), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(clean).save(root / "clean" / f"sem0000_{i:02d}.png")
+        Image.fromarray(noisy).save(root / "noise" / f"sem0000_{i:02d}.png")
+    return str(root)
+
+
+def test_train_and_eval_cli(fixture_dataset, tmp_path):
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path / "results")
+    state = train_cli.main([
+        "--data_dir", fixture_dataset,
+        "--save_model_path", save_root,
+        "--log_name", "UNetImproved_test",
+        "--n_feature", "16",
+        "--n_channel", "1",
+        "--n_epoch", "2",
+        "--batchsize", "2",
+        "--n_snapshot", "2",
+    ])
+    # find checkpoint
+    ckpts = []
+    for dirpath, _, files in os.walk(save_root):
+        ckpts += [os.path.join(dirpath, f) for f in files if f.endswith(".ckpt")]
+    assert any("epoch_model_002" in c for c in ckpts)
+    ckpt = [c for c in ckpts if "epoch_model_002" in c][0]
+
+    # whole-frame eval
+    from image_denoising_tpu.cli import evaluation as eval_cli
+
+    save_dir = str(tmp_path / "eval")
+    avg = eval_cli.main([
+        "--data_dir", fixture_dataset,
+        "--checkpoint", ckpt,
+        "--save_dir", save_dir,
+        "--n_feature", "16",
+        "--log_name", "UNetImproved_test",
+    ])
+    assert os.path.exists(os.path.join(save_dir, "metrics.txt"))
+    assert avg["psnr"] > 5.0
+
+    # tiled eval with IQ-IoU
+    from image_denoising_tpu.cli import evaluation_704_iqsl as eval704
+
+    save_dir2 = str(tmp_path / "eval704")
+    avg2 = eval704.main([
+        "--data_dir", fixture_dataset,
+        "--checkpoint", ckpt,
+        "--save_dir", save_dir2,
+        "--n_feature", "16",
+        "--log_name", "UNetImproved_test",
+        "--tile", "32",
+        "--overlap", "16",
+        "--compute_iq_iou",
+    ])
+    assert "iou_dark" in avg2
+    text = open(os.path.join(save_dir2, "metrics.txt")).read()
+    assert "Average 3-class IoU" in text
+
+
+def test_train_n2n_mode(fixture_dataset, tmp_path):
+    from image_denoising_tpu.cli import train as train_cli
+
+    train_cli.main([
+        "--data_dir", fixture_dataset,
+        "--save_model_path", str(tmp_path / "results_n2n"),
+        "--log_name", "UNET_n2n_test",
+        "--loss", "n2n",
+        "--noisetype", "gauss25",
+        "--n_feature", "8",
+        "--n_epoch", "1",
+        "--batchsize", "2",
+    ])
