@@ -1,0 +1,127 @@
+"""Memory-adapter tiled eval CLI — reference-compatible
+``evaluation_704_iqsl_memory.py``.
+
+The memory-bounded full-frame inference path: rebuilds the memory bank from
+the first --num_memory_images *test* pairs at eval time (reference behavior —
+banks are never checkpointed), loads base + adapter-only checkpoints, and
+denoises each frame patchwise (patch --patch_size, overlap --overlap) with
+Hann²-window blending. uint8 via clip(p·255 + 0.5). PSNR + optional IQ-IoU.
+
+TPU-native: every frame is ONE fused device program — tile gather → base
+forward on all tiles → batched top-1 bank retrieval (one MXU matmul) →
+adapter → Hann scatter-add blend.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--base_ckpt", type=str, required=True)
+    parser.add_argument("--adapter_ckpt", type=str, required=True)
+    parser.add_argument("--arch", type=str, default="UNetImproved",
+                        choices=["UNet", "RESNET", "UNetImproved"])
+    parser.add_argument("--save_dir", type=str, default="./results_704_eval_adapter_memory")
+    parser.add_argument("--gpu_devices", default="0", type=str)
+    parser.add_argument("--parallel", action="store_true")
+    parser.add_argument("--n_feature", type=int, default=48)
+    parser.add_argument("--n_channel", type=int, default=1)
+    parser.add_argument("--adapter_hidden", type=int, default=16)
+    parser.add_argument("--patch_size", type=int, default=128)
+    parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument("--num_memory_images", type=int, default=5)
+    parser.add_argument("--memory_stride", type=int, default=4)
+    parser.add_argument("--adapter_variant", type=str, default="hyper_gated_fft",
+                        choices=["memory_residual", "lowfreq_blend", "tone_curve",
+                                 "hyper_gated", "hyper_gated_fft"])
+    parser.add_argument("--bank_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--tile_batch", type=int, default=0)
+    parser.add_argument("--compute_iq_iou", action="store_true")
+    parser.add_argument("--iq_low_q", type=float, default=0.25)
+    parser.add_argument("--iq_high_q", type=float, default=0.75)
+    args, _ = parser.parse_known_args(argv)
+    return args
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+
+    from ..adapters import DenoiserWithMemoryAdapter
+    from ..ckpt import load_checkpoint
+    from ..data import list_pairs, validation_denoise
+    from ..eval import denoise_tiled_hann
+    from ..memory import build_memory_bank
+    from ..metrics import calculate_psnr, compute_iq_iou
+    from ..models.registry import build_model
+    from .common import MetricsWriter, save_png
+
+    os.makedirs(opt.save_dir, exist_ok=True)
+    clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
+
+    clean_all, noise_all = list_pairs(opt.data_dir)
+    num_mem = min(opt.num_memory_images, len(clean_all))
+    bank = build_memory_bank(
+        clean_all[:num_mem], noise_all[:num_mem],
+        patch_size=opt.patch_size, stride=opt.memory_stride,
+        bank_dtype=opt.bank_dtype,
+    )
+
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    wrapper = DenoiserWithMemoryAdapter(
+        base=base, in_channels=opt.n_channel,
+        hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,
+    )
+    base_params = load_checkpoint(opt.base_ckpt, arch=opt.arch)
+    adapter_params = load_checkpoint(opt.adapter_ckpt, arch=opt.adapter_variant)
+    params = {"base": base_params, "adapter": adapter_params}
+    print(f"Loaded base from {opt.base_ckpt}; adapter from {opt.adapter_ckpt}")
+
+    def model_call(tiles, params, bank_noise, bank_clean, bank_norms):
+        return wrapper.apply(
+            {"params": params}, tiles, bank_noise, bank_clean, bank_norms
+        )
+
+    writer = MetricsWriter()
+    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+        clean255 = np.asarray(clean).astype(np.uint8)
+
+        pred = denoise_tiled_hann(
+            model_call, np.asarray(noisy), ps=opt.patch_size,
+            overlap=opt.overlap, batch=opt.tile_batch,
+            extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
+        )
+        pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze(-1)
+
+        save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
+                 mode="L")
+
+        psnr = calculate_psnr(pred255, clean255)
+        ious = None
+        msg = f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> PSNR: {psnr:.2f}"
+        if opt.compute_iq_iou:
+            ious = compute_iq_iou(pred255, clean255, opt.iq_low_q, opt.iq_high_q)
+            msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
+        writer.add(psnr=psnr, ious=ious)
+        print(msg)
+
+    writer.write(opt.save_dir)
+    avg = writer.averages()
+    print(f"Average PSNR: {avg['psnr']:.2f}")
+    if opt.compute_iq_iou and "iou_dark" in avg:
+        print(
+            "Average IQ-3class IoU - "
+            f"dark: {avg['iou_dark']:.4f}, mid: {avg['iou_mid']:.4f}, "
+            f"bright: {avg['iou_bright']:.4f}"
+        )
+    return avg
+
+
+if __name__ == "__main__":
+    main()

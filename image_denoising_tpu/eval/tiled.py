@@ -118,20 +118,23 @@ def _reflect_indices(start: int, valid: int, ps: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _chunked_forward(model_call, tiles, batch: int):
-    """Run [T,ps,ps,C] through model_call in fixed-size chunks (pad last)."""
+def _chunked_forward(model_call, tiles, batch: int, extra=()):
+    """Run [T,ps,ps,C] through model_call in fixed-size chunks (pad last).
+
+    ``extra`` is threaded through to model_call (e.g. params, memory banks) so
+    they stay runtime arguments instead of baked compile-time constants."""
     t = tiles.shape[0]
     if batch <= 0 or batch >= t:
-        return model_call(tiles)
+        return model_call(tiles, *extra)
     outs = []
     for s in range(0, t, batch):
         chunk = tiles[s : s + batch]
         if chunk.shape[0] < batch:  # pad to keep one compiled shape
             pad = batch - chunk.shape[0]
             chunk = jnp.concatenate([chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            outs.append(model_call(chunk)[: tiles.shape[0] - s])
+            outs.append(model_call(chunk, *extra)[: tiles.shape[0] - s])
         else:
-            outs.append(model_call(chunk))
+            outs.append(model_call(chunk, *extra))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -204,10 +207,10 @@ def make_tiled_pyramid_runner(
     tws = jnp.asarray([g[3] for g in grid], jnp.int32)
 
     @jax.jit
-    def run(noisy255):
+    def run(noisy255, *extra):
         img = noisy255.astype(jnp.float32) / 255.0
         tiles = img[row_idx[:, :, None], col_idx[:, None, :]][..., None]
-        preds = _chunked_forward(model_call, tiles, batch)[..., 0]
+        preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
         l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
         out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
         return out, l1
@@ -221,12 +224,13 @@ def denoise_tiled_pyramid(
     ps: int = 352,
     overlap: int = 64,
     batch: int = 0,
+    extra=(),
 ):
     """Tiled-352 pyramid-blend full-frame denoise (evaluation_704.py engine).
 
     noisy255: [H,W] uint8/float in [0,255]. Returns (pred01 [H,W] float32,
     mean per-tile L1(pred, padded_input)). Jitted programs are cached per
-    (model, geometry).
+    (model, geometry); pass changing values (params, banks) via ``extra``.
     """
     noisy = np.asarray(noisy255)
     assert noisy.ndim == 2, "tiled pyramid eval is single-channel"
@@ -237,7 +241,7 @@ def denoise_tiled_pyramid(
         run = _RUNNER_CACHE[key] = make_tiled_pyramid_runner(
             model_call, h, w, ps, overlap, batch
         )
-    out, l1 = run(jnp.asarray(noisy))
+    out, l1 = run(jnp.asarray(noisy), *extra)
     return np.asarray(out), float(l1)
 
 
@@ -271,12 +275,12 @@ def make_tiled_hann_runner(
     window = jnp.asarray(hann_window_2d(ps))
 
     @jax.jit
-    def run(noisy255):
+    def run(noisy255, *extra):
         img = noisy255.astype(jnp.float32) / 255.0
         yy = jnp.arange(ps)
         tiles = img[(r0s[:, None] + yy)[:, :, None], (c0s[:, None] + yy)[:, None, :]]
         tiles = tiles[..., None]
-        preds = _chunked_forward(model_call, tiles, batch)[..., 0]
+        preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
         return _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
 
     return run
@@ -288,12 +292,13 @@ def denoise_tiled_hann(
     ps: int = 128,
     overlap: int = 64,
     batch: int = 0,
+    extra=(),
 ):
     """Hann²-blended patchwise denoise (denoise_full_image_patchwise engine).
 
     noisy255: [H,W] (or [H,W,1]) in [0,255]. Returns pred01 [H,W,1] float32 —
     the reference returns (H,W,1) in [0,1]. Jitted programs cached per
-    (model, geometry).
+    (model, geometry); pass changing values (params, banks) via ``extra``.
     """
     noisy = np.asarray(noisy255)
     if noisy.ndim == 3 and noisy.shape[2] == 1:
@@ -305,4 +310,4 @@ def denoise_tiled_hann(
         run = _RUNNER_CACHE[key] = make_tiled_hann_runner(
             model_call, h, w, ps, overlap, batch
         )
-    return np.asarray(run(jnp.asarray(noisy)))[..., None]
+    return np.asarray(run(jnp.asarray(noisy), *extra))[..., None]

@@ -1,0 +1,146 @@
+"""End-to-end finetune + adapter/memory eval CLI smoke tests."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("semdata_ft")
+    (root / "clean").mkdir()
+    (root / "noise").mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        yy, xx = np.mgrid[0:64, 0:64]
+        clean = (
+            100 + 80 * np.cos(yy / 9.0) + 30 * ((xx // 8) % 2)
+        ).clip(0, 255).astype(np.uint8)
+        noisy = np.clip(
+            clean.astype(np.float32) + rng.normal(0, 12, clean.shape), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(clean).save(root / "clean" / f"sem0000_{i:02d}.png")
+        Image.fromarray(noisy).save(root / "noise" / f"sem0000_{i:02d}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def base_ckpt(fixture_dataset, tmp_path_factory):
+    """Tiny pretrained base checkpoint from one trainer epoch."""
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path_factory.mktemp("results_base"))
+    train_cli.main([
+        "--data_dir", fixture_dataset,
+        "--save_model_path", save_root,
+        "--log_name", "UNetImproved_base",
+        "--n_feature", "16",
+        "--n_epoch", "1",
+        "--batchsize", "2",
+    ])
+    ckpts = glob.glob(os.path.join(save_root, "**", "epoch_model_001.ckpt"),
+                      recursive=True)
+    assert ckpts
+    return ckpts[0]
+
+
+def test_finetune_adapter_and_eval(fixture_dataset, base_ckpt, tmp_path):
+    from image_denoising_tpu.cli import evaluation_adapter, finetune
+
+    save_root = str(tmp_path / "ft")
+    finetune.main([
+        "--data_dir", fixture_dataset,
+        "--pretrained_ckpt", base_ckpt,
+        "--arch", "UNetImproved",
+        "--save_model_path", save_root,
+        "--log_name", "ft_test",
+        "--n_feature", "16",
+        "--n_epoch", "2",
+        "--batchsize", "2",
+        "--patch_size", "32",
+        "--patches_per_image", "4",
+    ])
+    ckpt = os.path.join(save_root, "ft_test", "epoch_adapter_002.ckpt")
+    assert os.path.exists(ckpt)
+
+    avg_psnr = evaluation_adapter.main([
+        "--data_dir", fixture_dataset,
+        "--ckpt", ckpt,
+        "--arch", "UNetImproved",
+        "--save_dir", str(tmp_path / "infer"),
+        "--n_feature", "16",
+    ])
+    assert avg_psnr is not None and avg_psnr > 5.0
+
+
+def test_finetune_iqsl_and_adapter_iqsl_eval(fixture_dataset, base_ckpt, tmp_path):
+    from image_denoising_tpu.cli import evaluation_adapter_iqsl, finetune_iqsl
+
+    save_root = str(tmp_path / "ft_iqsl")
+    finetune_iqsl.main([
+        "--data_dir", fixture_dataset,
+        "--pretrained_ckpt", base_ckpt,
+        "--arch", "UNetImproved",
+        "--save_model_path", save_root,
+        "--log_name", "ft_iqsl_test",
+        "--n_feature", "16",
+        "--n_epoch", "1",
+        "--batchsize", "2",
+        "--patch_size", "32",
+        "--patches_per_image", "4",
+        "--lambda_iqsl", "0.1",
+    ])
+    adapter_ckpt = os.path.join(save_root, "ft_iqsl_test", "epoch_adapter_only_001.ckpt")
+    assert os.path.exists(adapter_ckpt)
+
+    avg = evaluation_adapter_iqsl.main([
+        "--data_dir", fixture_dataset,
+        "--base_ckpt", base_ckpt,
+        "--adapter_ckpt", adapter_ckpt,
+        "--arch", "UNetImproved",
+        "--save_dir", str(tmp_path / "infer_iqsl"),
+        "--n_feature", "16",
+        "--compute_iq_iou",
+    ])
+    assert "psnr" in avg and "iou_dark" in avg
+
+
+def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
+    from image_denoising_tpu.cli import evaluation_704_iqsl_memory, finetune_memory
+
+    save_root = str(tmp_path / "ft_mem")
+    finetune_memory.main([
+        "--data_dir", fixture_dataset,
+        "--pretrained_ckpt", base_ckpt,
+        "--arch", "UNetImproved",
+        "--save_model_path", save_root,
+        "--log_name", "ft_mem_test",
+        "--n_feature", "16",
+        "--n_epoch", "1",
+        "--batchsize", "2",
+        "--patch_size", "32",
+        "--patches_per_image", "4",
+        "--num_memory_images", "2",
+        "--memory_stride", "16",
+        "--lambda_iqsl", "0.1",
+    ])
+    adapter_ckpt = os.path.join(save_root, "ft_mem_test", "epoch_adapter_only_001.ckpt")
+    assert os.path.exists(adapter_ckpt)
+
+    avg = evaluation_704_iqsl_memory.main([
+        "--data_dir", fixture_dataset,
+        "--base_ckpt", base_ckpt,
+        "--adapter_ckpt", adapter_ckpt,
+        "--arch", "UNetImproved",
+        "--save_dir", str(tmp_path / "eval_mem"),
+        "--n_feature", "16",
+        "--patch_size", "32",
+        "--overlap", "16",
+        "--num_memory_images", "2",
+        "--memory_stride", "16",
+        "--compute_iq_iou",
+    ])
+    assert avg["psnr"] > 5.0 and "iou_dark" in avg
