@@ -27,9 +27,21 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(params, lr: float = 3e-4, weight_decay: float = 0.0) -> TrainState:
-    """Adam with injectable learning rate (per-epoch MultiStepLR host control)."""
+    """Adam with injectable learning rate (per-epoch MultiStepLR host control).
+
+    ``weight_decay`` reproduces torch Adam's coupled L2 semantics (grad +=
+    wd·param BEFORE the moment updates — train_opt.py:253), NOT decoupled
+    AdamW.
+    """
     if weight_decay:
-        tx = optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+        def adam_l2(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_adam(),
+                optax.scale(-learning_rate),
+            )
+
+        tx = optax.inject_hyperparams(adam_l2)(learning_rate=lr)
     else:
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     return TrainState(

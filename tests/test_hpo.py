@@ -1,0 +1,117 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from image_denoising_tpu.hpo import create_study
+from image_denoising_tpu.hpo.engine import TPESampler
+
+
+def test_random_then_tpe_converges():
+    """TPE should concentrate samples near the optimum of a quadratic."""
+    study = create_study("t", sampler=TPESampler(n_startup_trials=8, seed=0))
+
+    def objective(trial):
+        x = trial.suggest_float("x", -5.0, 5.0)
+        return (x - 2.0) ** 2
+
+    study.optimize(objective, n_trials=60)
+    assert abs(study.best_params["x"] - 2.0) < 0.5
+    late = [t.params["x"] for t in study.trials[40:]]
+    assert abs(np.median(late) - 2.0) < 1.5
+
+
+def test_int_grid_and_loguniform_bounds():
+    study = create_study("t2", sampler=TPESampler(n_startup_trials=2, seed=1))
+
+    def objective(trial):
+        n = trial.suggest_int("n_feature", 16, 128, step=16)
+        lr = trial.suggest_loguniform("lr", 1e-6, 3e-4)
+        assert n in range(16, 129, 16)
+        assert 1e-6 <= lr <= 3e-4
+        return abs(n - 64) + abs(np.log10(lr) + 4)
+
+    study.optimize(objective, n_trials=20)
+    assert study.best_trial.value is not None
+
+
+def test_sqlite_persistence_and_resume(tmp_path):
+    db = f"sqlite:///{tmp_path}/study.db"
+    study = create_study("persist", storage=db)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        trial.set_user_attr("init_seed", 42 + trial.number)
+        return x
+
+    study.optimize(objective, n_trials=5)
+    assert os.path.exists(str(tmp_path / "study.db"))
+
+    # resume
+    study2 = create_study("persist", storage=db, load_if_exists=True)
+    assert len(study2.trials) == 5
+    assert study2.best_trial.user_attrs["init_seed"] >= 42
+    study2.optimize(objective, n_trials=3)
+    assert len(study2.trials) == 8
+
+    study3 = create_study("persist", storage=db)
+    assert len(study3.trials) == 8
+
+
+def test_callbacks_jsonl(tmp_path):
+    study = create_study("cb")
+    log = tmp_path / "trials.log"
+
+    def cb(study, trial):
+        with open(log, "a") as f:
+            f.write(json.dumps({"trial": trial.number, "value": trial.value}) + "\n")
+
+    study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=4, callbacks=[cb])
+    lines = open(log).read().strip().split("\n")
+    assert len(lines) == 4
+
+
+def test_train_opt_cli_e2e(tmp_path):
+    """Tiny end-to-end HPO run: 2 trials + 1-epoch final retrain."""
+    from PIL import Image
+
+    root = tmp_path / "data"
+    (root / "clean").mkdir(parents=True)
+    (root / "noise").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        clean = rng.integers(60, 200, (48, 48)).astype(np.uint8)
+        noisy = np.clip(clean + rng.normal(0, 10, clean.shape), 0, 255).astype(np.uint8)
+        Image.fromarray(clean).save(root / "clean" / f"im_{i}.png")
+        Image.fromarray(noisy).save(root / "noise" / f"im_{i}.png")
+
+    from image_denoising_tpu.cli import train_opt
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        study = train_opt.main([
+            "--data_dir", str(root),
+            "--save_model_path", str(tmp_path / "results"),
+            "--log_name", "hpo_test",
+            "--n_trials", "2",
+            "--tune_epochs", "1",
+            "--n_epoch", "1",
+            "--batchsize", "2",
+            "--storage", f"sqlite:///{tmp_path}/optuna_unet.db",
+            "--trials_log", str(tmp_path / "trials.log"),
+        ])
+    finally:
+        os.chdir(cwd)
+
+    assert len(study.trials) == 2
+    assert os.path.exists(tmp_path / "trials.log")
+    rec = json.loads(open(tmp_path / "trials.log").readline())
+    assert "params" in rec and "n_feature" in rec["params"]
+    # final retrain checkpoint exists
+    import glob
+
+    finals = glob.glob(str(tmp_path / "results" / "**" / "epoch_final_001.ckpt"),
+                       recursive=True)
+    assert finals
