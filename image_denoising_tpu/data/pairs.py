@@ -133,6 +133,7 @@ class DenoisePatchDataset:
         patch_size: int,
         patches_per_image: int,
         max_images: int = 5,
+        use_native: bool = True,
     ):
         clean_paths, noise_paths = list_pairs(data_dir, limit=max_images)
         assert len(clean_paths) == len(noise_paths) and clean_paths, (
@@ -144,6 +145,17 @@ class DenoisePatchDataset:
             (_ensure_nhwc(load_image_f32(c)), _ensure_nhwc(load_image_f32(n)))
             for c, n in zip(clean_paths, noise_paths)
         ]
+        self._native = None
+        if use_native:
+            try:
+                from .native_sampler import NativePatchSampler
+
+                self._native = NativePatchSampler(
+                    [(c.astype(np.uint8), n.astype(np.uint8))
+                     for c, n in self.images]
+                )
+            except Exception as e:
+                print(f"[DenoisePatchDataset] native sampler unavailable: {e}")
         for c, n in self.images:
             h, w = c.shape[:2]
             assert h >= patch_size and w >= patch_size, (
@@ -180,10 +192,16 @@ class DenoisePatchDataset:
         if shuffle:
             rng.shuffle(order)
         end = (len(order) // batch_size) * batch_size if drop_last else len(order)
-        for s in range(0, end, batch_size):
+        batch_seed = int(rng.integers(0, 2**63 - 1))
+        for bi, s in enumerate(range(0, end, batch_size)):
             idxs = order[s : s + batch_size]
-            pairs = [self.sample(int(i), rng) for i in idxs]
-            yield (
-                np.stack([p[0] for p in pairs]),
-                np.stack([p[1] for p in pairs]),
-            )
+            if self._native is not None:
+                img_of_item = (idxs // self.patches_per_image).astype(np.int32)
+                yield self._native.sample(batch_seed, bi, img_of_item,
+                                          self.patch_size)
+            else:
+                pairs = [self.sample(int(i), rng) for i in idxs]
+                yield (
+                    np.stack([p[0] for p in pairs]),
+                    np.stack([p[1] for p in pairs]),
+                )
