@@ -45,7 +45,8 @@ class DenoiserWithAdapter(nn.Module):
         )(x, base_out)
 
 
-def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None):
+def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
+                        use_pallas: bool = False):
     """Top-1 L2 retrieval: ‖noisy − bank‖² via a²+b²−2ab matmul + argmin.
 
     noisy: [B,P,P,C]; memory_noise_flat: [N,D] (D = P·P·C);
@@ -54,13 +55,20 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None):
     TPU notes: the [B,N] distance matrix comes from one MXU matmul with f32
     accumulation; jnp.argmin tie-breaks to the first minimum exactly like
     torch. The banks live in HBM; the gather of the winning clean patches is
-    one dynamic gather.
+    one dynamic gather. ``use_pallas=True`` switches to the streaming Pallas
+    kernel (memory/retrieval_pallas.py) that never materializes [B,N] —
+    preferable at production bank sizes (stride 4 ⇒ N ~ 1e5).
     """
     b = noisy.shape[0]
     noisy_flat = jax.lax.stop_gradient(noisy).reshape(b, -1)
-    a2 = jnp.sum(noisy_flat**2, axis=1, keepdims=True)  # [B,1]
     if sq_norms is None:
         sq_norms = jnp.sum(memory_noise_flat.astype(jnp.float32) ** 2, axis=1)
+    if use_pallas:
+        from ..memory.retrieval_pallas import top1_l2_retrieval
+
+        idx = top1_l2_retrieval(noisy_flat, memory_noise_flat, sq_norms)
+        return jnp.take(memory_clean, idx, axis=0)
+    a2 = jnp.sum(noisy_flat**2, axis=1, keepdims=True)  # [B,1]
     ab = jax.lax.dot_general(
         noisy_flat, memory_noise_flat,
         (((1,), (1,)), ((), ())),
@@ -76,12 +84,14 @@ class DenoiserWithMemoryAdapter(nn.Module):
     in_channels: int = 1
     hidden_channels: int = 16
     variant: str = "hyper_gated_fft"  # v5 — the reference's active adapter
+    pallas_retrieval: bool = False  # stream the bank through VMEM (big banks)
 
     @nn.compact
     def __call__(self, noisy, memory_noise_flat, memory_clean, bank_sq_norms=None):
         base_out = jax.lax.stop_gradient(self.base(noisy))
         mem_clean = select_memory_patch(
-            noisy, memory_noise_flat, memory_clean, bank_sq_norms
+            noisy, memory_noise_flat, memory_clean, bank_sq_norms,
+            use_pallas=self.pallas_retrieval,
         )
         adapter = build_memory_adapter(
             self.variant, self.in_channels, self.hidden_channels, name="adapter"

@@ -52,6 +52,15 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_steps_per_epoch", type=int, default=0,
                         help="debug/bench cap; 0 = full epoch")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint to resume params from (the reference "
+                             "always restarts at epoch 1; this is an extension)")
+    parser.add_argument("--start_epoch", type=int, default=1,
+                        help="first epoch number when resuming")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first training "
+                             "steps of the first epoch to this directory")
+    parser.add_argument("--profile_steps", type=int, default=5)
     opt, _ = parser.parse_known_args(argv)
     return opt
 
@@ -88,6 +97,16 @@ def main(argv=None):
     init_x = jnp.zeros((1,) + c0.shape, jnp.float32)
     variables = jax.jit(network.init)(jax.random.PRNGKey(opt.seed), init_x)
     params = variables["params"]
+    if opt.resume:
+        from ..ckpt import load_checkpoint
+
+        params = load_checkpoint(
+            opt.resume, arch=opt.arch or None
+        ) if not opt.resume.endswith(".pth") else load_checkpoint(
+            opt.resume,
+            arch=opt.arch or type(network).__name__.replace("ImprovedUNet", "UNetImproved"),
+        )
+        print(f"Resumed params from {opt.resume}")
 
     mesh = None
     if opt.parallel:
@@ -114,7 +133,8 @@ def main(argv=None):
     print(f"Batchsize={opt.batchsize}, number of epoch={opt.n_epoch}")
 
     rng = np.random.default_rng(opt.seed)
-    for epoch in range(1, opt.n_epoch + 1):
+    profiling = False
+    for epoch in range(opt.start_epoch, opt.n_epoch + 1):
         epoch_st = time.time()
         lr = multistep_lr(opt.lr, milestones, opt.gamma, epoch)
         state = set_learning_rate(state, lr)
@@ -126,6 +146,13 @@ def main(argv=None):
         ):
             if opt.max_steps_per_epoch and it >= opt.max_steps_per_epoch:
                 break
+            if opt.profile_dir and epoch == opt.start_epoch and it == 1:
+                jax.profiler.start_trace(opt.profile_dir)
+                profiling = True
+            if profiling and it == 1 + opt.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace written to {opt.profile_dir}")
             st = time.time()
             batch = (clean, noisy)
             if mesh is not None:
@@ -143,6 +170,11 @@ def main(argv=None):
                 f"{epoch:04d} {it:05d} Loss_Full={loss:.6f} "
                 f"Time={time.time() - st:.4f}"
             )
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace written to {opt.profile_dir}")
 
         train_time = time.time() - epoch_st
         mean_loss = float(np.mean(losses)) if losses else float("nan")

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: streaming top-1 L2 retrieval over an HBM memory bank.
+
+The memory-bounded regime (bank stride 4 ⇒ ~1e5 resident 128² patches,
+``eval_704_iqsl_memory.sh:38``) makes the retrieval distance matrix the hot
+op: for queries Q[B,D] against bank M[N,D] (D = P·P·C = 16384), computing
+argmin‖q−m‖² needs the [B,N] matrix of a²+b²−2ab.
+
+The XLA path (wrappers.select_memory_patch) materializes [B,N] in HBM. This
+kernel never does: the bank streams through VMEM in (TILE_N × TILE_D) blocks
+on a 2-D grid; partial q·mᵀ products accumulate in a VMEM scratch across the
+D axis (MXU dots with f32 accumulation), and at each row-tile's last D-block
+the running (min, argmin) pair in SMEM-backed scratch is updated. Ties break
+to the FIRST minimum (strict <), matching torch argmin.
+
+Output: best bank index per query [B] int32 — the clean-patch gather stays
+outside (one dynamic gather from HBM).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["top1_l2_retrieval"]
+
+
+def _kernel(q_ref, sqn_ref, bank_ref, out_idx_ref, ab_acc, best_d, best_i):
+    """Grid (nN, nD): j = D-tile (minor), i = N-tile (major)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    # reset accumulators at the very first block
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    @pl.when(j == 0)
+    def _():
+        ab_acc[:] = jnp.zeros_like(ab_acc)
+
+    # partial dot: q[B, TILE_D] · bank[TILE_N, TILE_D]ᵀ → [B, TILE_N]
+    ab_acc[:] += jax.lax.dot_general(
+        q_ref[:], bank_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_j - 1)
+    def _():
+        tile_n = bank_ref.shape[0]
+        # dist (up to the constant a²) = b² − 2ab
+        dist = sqn_ref[:] - 2.0 * ab_acc[:]
+        tile_min = jnp.min(dist, axis=1)  # [B]
+        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)  # first-min
+        global_arg = i * tile_n + tile_arg
+        improve = tile_min < best_d[:, 0]  # strict < keeps earlier tiles on tie
+        best_i[:, 0] = jnp.where(improve, global_arg, best_i[:, 0])
+        best_d[:, 0] = jnp.where(improve, tile_min, best_d[:, 0])
+
+    n_i = pl.num_programs(0)
+
+    @pl.when((i == n_i - 1) & (j == n_j - 1))
+    def _():
+        out_idx_ref[:] = best_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_d"))
+def top1_l2_retrieval(queries_flat, bank_flat, bank_sq_norms,
+                      tile_n: int = 512, tile_d: int = 2048):
+    """queries_flat [B,D] f32, bank_flat [N,D] (f32/bf16), sq_norms [N] f32
+    → best index [B] int32. N must divide by tile_n, D by tile_d (callers pad
+    the bank; padding rows get +inf via sq_norms=+inf)."""
+    b, d = queries_flat.shape
+    n = bank_flat.shape[0]
+    assert n % tile_n == 0 and d % tile_d == 0, (n, d, tile_n, tile_d)
+    grid = (n // tile_n, d // tile_d)
+
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, tile_d), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_d), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((b, tile_n), jnp.float32),  # ab accumulator
+            pltpu.VMEM((b, 1), jnp.float32),       # running min dist
+            pltpu.VMEM((b, 1), jnp.int32),         # running argmin
+        ],
+    )(queries_flat.astype(bank_flat.dtype), bank_sq_norms.reshape(1, n),
+      bank_flat)[:, 0]
+
+
+def pad_bank_for_retrieval(bank_flat, bank_sq_norms, tile_n: int = 512):
+    """Pad N up to a tile multiple; padded rows get +inf norms (never chosen)."""
+    n, d = bank_flat.shape
+    n_pad = (-n) % tile_n
+    if n_pad == 0:
+        return bank_flat, bank_sq_norms
+    bank_flat = jnp.concatenate(
+        [bank_flat, jnp.zeros((n_pad, d), bank_flat.dtype)], axis=0
+    )
+    bank_sq_norms = jnp.concatenate(
+        [bank_sq_norms, jnp.full((n_pad,), jnp.inf, bank_sq_norms.dtype)], axis=0
+    )
+    return bank_flat, bank_sq_norms

@@ -1,0 +1,95 @@
+"""On-device TPU checks for the Pallas kernels (run manually on TPU hardware;
+the CPU test suite covers interpret-mode parity where lowerings exist).
+
+Usage: python tests/tpu/run_tpu_checks.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+
+def check_retrieval():
+    import jax
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.memory.retrieval_pallas import (
+        pad_bank_for_retrieval,
+        top1_l2_retrieval,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n, d = 8, 4096, 4096
+    bank = rng.random((n, d), dtype=np.float32)
+    queries = bank[rng.integers(0, n, b)] + rng.normal(0, 0.01, (b, d)).astype(
+        np.float32
+    )
+    sqn = np.sum(bank**2, axis=1)
+    dists = (
+        np.sum(queries**2, 1, keepdims=True) + sqn[None, :] - 2 * queries @ bank.T
+    )
+    idx_ref = np.argmin(dists, axis=1)
+
+    bank_j, sqn_j = pad_bank_for_retrieval(jnp.asarray(bank), jnp.asarray(sqn))
+    idx = top1_l2_retrieval(jnp.asarray(queries), bank_j, sqn_j)
+    idx = np.asarray(jax.block_until_ready(idx))
+    assert np.array_equal(idx, idx_ref), (idx, idx_ref)
+
+    t0 = time.perf_counter()
+    for _ in range(10):
+        idx = top1_l2_retrieval(jnp.asarray(queries), bank_j, sqn_j)
+    jax.block_until_ready(idx)
+    dt = (time.perf_counter() - t0) / 10
+    print(f"retrieval kernel OK: B={b} N={n} D={d}, {dt * 1e3:.2f} ms/call")
+
+
+def check_subsampler():
+    import jax
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.ops.neighbor import generate_subimages
+    from image_denoising_tpu.ops.neighbor_pallas import subsample_pair_pallas
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((4, 256, 256, 1), dtype=np.float32))
+    sub1, sub2, (sel1, sel2) = jax.block_until_ready(
+        subsample_pair_pallas(7, img)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub1), np.asarray(generate_subimages(img, sel1)), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub2), np.asarray(generate_subimages(img, sel2)), atol=0
+    )
+    s1 = np.asarray(sel1).reshape(-1)
+    s2 = np.asarray(sel2).reshape(-1)
+    valid_pairs = {(0, 1), (0, 2), (1, 3), (2, 3), (1, 0), (2, 0), (3, 1), (3, 2)}
+    pairs = set(zip(s1.tolist(), s2.tolist()))
+    assert pairs <= valid_pairs, pairs - valid_pairs
+    counts = np.zeros(8)
+    lut = {p: i for i, p in enumerate(sorted(valid_pairs))}
+    for p in zip(s1, s2):
+        counts[lut[(int(p[0]), int(p[1]))]] += 1
+    freq = counts / counts.sum()
+    assert np.all(np.abs(freq - 1 / 8) < 0.02), freq
+
+    # determinism
+    a = subsample_pair_pallas(3, img)
+    b = subsample_pair_pallas(3, img)
+    np.testing.assert_array_equal(np.asarray(a[2][0]), np.asarray(b[2][0]))
+    print("subsampler kernel OK: pairs valid, uniform, deterministic")
+
+
+if __name__ == "__main__":
+    import jax
+
+    print("backend:", jax.default_backend(), jax.devices())
+    check_retrieval()
+    check_subsampler()
+    print("ALL TPU CHECKS PASSED")
