@@ -182,15 +182,39 @@ def _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h: int, w: int, ps: int):
     return canvas / contrib
 
 
+def _tile_sharding(mesh):
+    """Shard the tile batch axis over the mesh (spatial/context parallelism:
+    SURVEY.md §5 — the tile grid is the sequence-length analog)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))
+
+
+def _shard_tiles(tiles, mesh):
+    """Pad T to a device multiple and constrain the batch-dim sharding; XLA
+    then runs each device's tile slice locally (no collective until blend)."""
+    n_dev = int(np.prod(mesh.devices.shape))
+    t = tiles.shape[0]
+    pad = (-t) % n_dev
+    if pad:
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)], axis=0
+        )
+    tiles = jax.lax.with_sharding_constraint(tiles, _tile_sharding(mesh))
+    return tiles, t
+
+
 def make_tiled_pyramid_runner(
     model_call: Callable, h: int, w: int, ps: int = 352, overlap: int = 64,
-    batch: int = 0,
+    batch: int = 0, mesh=None,
 ):
     """One fully-jitted program: frame [H,W] float255 → (pred01, mean tile L1).
 
     Gather (with reflect edge handling), batched forward, weighting, and the
     scatter-add blend all fuse into a single device program — zero eager ops
-    per frame after the first call.
+    per frame after the first call. Pass ``mesh`` to shard the tile batch over
+    devices (huge-frame spatial parallelism).
     """
     stride = ps - overlap
     grid = reference_tile_grid(h, w, ps, stride)
@@ -210,7 +234,12 @@ def make_tiled_pyramid_runner(
     def run(noisy255, *extra):
         img = noisy255.astype(jnp.float32) / 255.0
         tiles = img[row_idx[:, :, None], col_idx[:, None, :]][..., None]
+        n_tiles = tiles.shape[0]
+        if mesh is not None:
+            tiles, n_tiles = _shard_tiles(tiles, mesh)
         preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
+        preds = preds[:n_tiles]
+        tiles = tiles[:n_tiles]
         l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
         out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
         return out, l1
@@ -266,7 +295,7 @@ def _blend_hann(preds, r0s, c0s, window, h: int, w: int, ps: int):
 
 def make_tiled_hann_runner(
     model_call: Callable, h: int, w: int, ps: int = 128, overlap: int = 64,
-    batch: int = 0,
+    batch: int = 0, mesh=None,
 ):
     """One fully-jitted program: frame [H,W] float255 → pred01 [H,W]."""
     grid = edge_aligned_grid(h, w, ps, overlap)
@@ -280,7 +309,11 @@ def make_tiled_hann_runner(
         yy = jnp.arange(ps)
         tiles = img[(r0s[:, None] + yy)[:, :, None], (c0s[:, None] + yy)[:, None, :]]
         tiles = tiles[..., None]
+        n_tiles = tiles.shape[0]
+        if mesh is not None:
+            tiles, n_tiles = _shard_tiles(tiles, mesh)
         preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
+        preds = preds[:n_tiles]
         return _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
 
     return run
