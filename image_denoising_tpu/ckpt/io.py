@@ -57,3 +57,29 @@ def load_checkpoint(path: str, arch: Optional[str] = None, **kwargs) -> Any:
         return import_pth(path, arch, **kwargs)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def save_train_state(state, save_root: str, epoch: int) -> str:
+    """Full-state checkpoint (params + optimizer moments + counters) for true
+    resume — an extension: the reference never persists optimizer state
+    (SURVEY.md §5 checkpoint/resume), so its restarts begin at epoch 1.
+    """
+    os.makedirs(save_root, exist_ok=True)
+    path = os.path.join(save_root, f"train_state_{epoch:03d}.ckpt")
+    payload = serialization.to_bytes(np_tree_state(state))
+    with open(path, "wb") as f:
+        f.write(payload)
+    print(f"Full train state saved to {path}")
+    return path
+
+
+def np_tree_state(state) -> Any:
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), state)
+
+
+def restore_train_state(state_template, path: str):
+    """Restore into a freshly-constructed TrainState of identical structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(state_template, f.read())
