@@ -46,7 +46,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from image_denoising_tpu.eval.tiled import denoise_tiled_pyramid
+    from image_denoising_tpu.eval.tiled import make_tiled_pyramid_runner
     from image_denoising_tpu.models import ImprovedUNet
 
     h = w = 704
@@ -61,17 +61,23 @@ def main():
     def fwd(tiles):
         return model.apply({"params": params}, tiles)
 
+    run = make_tiled_pyramid_runner(fwd, h, w, ps, overlap)
+
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(4)]
 
     # warmup (compile)
-    denoise_tiled_pyramid(fwd, frames[0], ps=ps, overlap=overlap)
+    jax.block_until_ready(run(jnp.asarray(frames[0])))
 
+    # production-shaped pipeline: per-frame H2D transfer included, frames
+    # issued asynchronously (transfers overlap compute), one sync at the end
     n_rep = 3
     t0 = time.perf_counter()
+    outs = []
     for _ in range(n_rep):
         for fr in frames:
-            denoise_tiled_pyramid(fwd, fr, ps=ps, overlap=overlap)
+            outs.append(run(jnp.asarray(fr))[0])
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     mp = n_rep * len(frames) * h * w / 1e6
     mps = mp / dt
