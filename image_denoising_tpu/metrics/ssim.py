@@ -38,10 +38,60 @@ def _filter_mirror(img: np.ndarray, window: np.ndarray) -> np.ndarray:
     return correlate(img, window, mode="mirror")
 
 
-def ssim(prediction, target) -> float:
+_NATIVE = None
+_NATIVE_FAILED = False
+
+
+def _native_lib():
+    """Native separable-filter SSIM (native/ssim.cpp) — ~10× the scipy path."""
+    global _NATIVE, _NATIVE_FAILED
+    if _NATIVE is not None or _NATIVE_FAILED:
+        return _NATIVE
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+    )
+    so = os.path.join(native_dir, "libssim.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", native_dir, "libssim.so"], check=True,
+                           capture_output=True)
+        except Exception:
+            _NATIVE_FAILED = True
+            return None
+    if not os.path.exists(so):
+        _NATIVE_FAILED = True
+        return None
+    lib = ctypes.CDLL(so)
+    lib.ssim_gray.restype = ctypes.c_double
+    lib.ssim_gray.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    _NATIVE = lib
+    return lib
+
+
+def ssim(prediction, target, native: bool = True) -> float:
     """Single-channel SSIM on [0,255]-domain 2D arrays (float64)."""
     img1 = np.asarray(prediction, dtype=np.float64)
     img2 = np.asarray(target, dtype=np.float64)
+    if native and img1.ndim == 2 and min(img1.shape) >= 11:
+        lib = _native_lib()
+        if lib is not None:
+            import ctypes
+
+            a = np.ascontiguousarray(img1)
+            b = np.ascontiguousarray(img2)
+            return float(lib.ssim_gray(
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                a.shape[0], a.shape[1],
+            ))
     window = gaussian_window()
     mu1 = _filter_mirror(img1, window)[5:-5, 5:-5]
     mu2 = _filter_mirror(img2, window)[5:-5, 5:-5]

@@ -112,3 +112,14 @@ def test_iq_iou_quantile_thresholds(rng):
     lbl = quantize_3class(g, t1, t2)
     frac_mid = (lbl == 1).mean()
     assert 0.3 < frac_mid < 0.7
+
+
+def test_native_ssim_matches_python(rng):
+    from image_denoising_tpu.metrics.ssim import _native_lib, ssim
+
+    if _native_lib() is None:
+        pytest.skip("native ssim unavailable")
+    clean, noisy = _pair(rng, shape=(96, 128))
+    assert abs(ssim(noisy, clean, native=True) - ssim(noisy, clean, native=False)) < 1e-12
+    # and against the cv2 oracle
+    assert abs(ssim(noisy, clean, native=True) - _cv2_ssim(noisy, clean)) < 1e-10
