@@ -247,6 +247,48 @@ def make_tiled_pyramid_runner(
     return run
 
 
+def make_tiled_pyramid_runner_frames(
+    model_call: Callable, n_frames: int, h: int, w: int, ps: int = 352,
+    overlap: int = 64, batch: int = 0,
+):
+    """Frame-batched variant: [F,H,W] float255 → ([F,H,W] pred01, [F] L1).
+
+    All F·T tiles run as one forward and the blends vmap over frames — one
+    device dispatch for a whole burst of frames, amortizing launch/transfer
+    latency (the serving-pipeline shape; see bench.py).
+    """
+    stride = ps - overlap
+    grid = reference_tile_grid(h, w, ps, stride)
+    row_idx = jnp.asarray(
+        np.stack([_reflect_indices(r0, th, ps) for (r0, _, th, _) in grid])
+    )
+    col_idx = jnp.asarray(
+        np.stack([_reflect_indices(c0, tw, ps) for (_, c0, _, tw) in grid])
+    )
+    mask = jnp.asarray(pyramid_weight_mask(ps))
+    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
+    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
+    ths = jnp.asarray([g[2] for g in grid], jnp.int32)
+    tws = jnp.asarray([g[3] for g in grid], jnp.int32)
+    t = len(grid)
+
+    @jax.jit
+    def run(frames255, *extra):
+        imgs = frames255.astype(jnp.float32) / 255.0  # [F,H,W]
+        tiles = imgs[:, row_idx[:, :, None], col_idx[:, None, :]]  # [F,T,ps,ps]
+        tiles = tiles.reshape(n_frames * t, ps, ps, 1)
+        preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
+        preds = preds.reshape(n_frames, t, ps, ps)
+        tiles = tiles.reshape(n_frames, t, ps, ps)
+        l1 = jnp.mean(jnp.abs(preds - tiles), axis=(2, 3)).mean(axis=1)
+        blend = lambda p: _blend_pyramid(p, r0s, c0s, ths, tws, mask,
+                                         h=h, w=w, ps=ps)
+        out = jax.vmap(blend)(preds)
+        return out, l1
+
+    return run
+
+
 def denoise_tiled_pyramid(
     model_call: Callable,
     noisy255: np.ndarray,

@@ -156,3 +156,21 @@ def test_chunked_forward_equivalence(rng):
         _wrap(_affine_model), noisy, ps=64, overlap=32, batch=2
     )
     np.testing.assert_allclose(full, chunked, atol=1e-6)
+
+
+def test_frame_batched_runner_matches_per_frame(rng):
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.eval.tiled import make_tiled_pyramid_runner_frames
+
+    frames = np.stack([
+        rng.integers(0, 256, (96, 96)).astype(np.uint8) for _ in range(3)
+    ])
+    run = make_tiled_pyramid_runner_frames(_wrap(_affine_model), 3, 96, 96,
+                                           ps=64, overlap=32)
+    outs, l1s = run(jnp.asarray(frames))
+    for i in range(3):
+        single, l1 = denoise_tiled_pyramid(_wrap(_affine_model), frames[i],
+                                           ps=64, overlap=32)
+        np.testing.assert_allclose(np.asarray(outs)[i], single, atol=1e-6)
+        assert abs(float(l1s[i]) - l1) < 1e-6
