@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ..models.init import constant_init, torch_default_bias, torch_default_conv_kernel, zeros_init
+from ..models.init import constant_init, zeros_init
 from ..models.layers import Conv
 
 __all__ = [

@@ -15,8 +15,6 @@ gives the same backward cut as torch's no_grad wrapper.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -8,7 +8,7 @@ the fly through the import shim).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import numpy as np
 

@@ -25,7 +25,7 @@ overlap+1 px; we mirror-extend cyclically in that regime instead of crashing
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

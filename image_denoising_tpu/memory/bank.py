@@ -20,7 +20,7 @@ retrieved indices are comparable with the reference.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, List, Optional, Tuple
+from typing import Any, List
 
 import numpy as np
 

@@ -11,9 +11,8 @@ with TPU-idiomatic implementations:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax

@@ -13,7 +13,6 @@ from functools import partial
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["AugmentNoise"]
 

@@ -14,7 +14,7 @@ parallel analog — SURVEY.md §5 long-context).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
