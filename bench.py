@@ -43,15 +43,25 @@ def _load_baseline() -> float | None:
 
 
 def main():
+    # persistent compilation cache: repeat bench runs (and CLI runs) skip the
+    # multi-minute XLA compile entirely
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
     import jax
     import jax.numpy as jnp
 
-    from image_denoising_tpu.eval.tiled import make_tiled_pyramid_runner_frames
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from image_denoising_tpu.eval.tiled import make_tiled_pyramid_runner
     from image_denoising_tpu.models import ImprovedUNet
 
     h = w = 704
     ps, overlap = 352, 64
-    frames_per_burst = 4
 
     model = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48)
     x0 = jnp.zeros((1, ps, ps, 1), jnp.float32)
@@ -62,28 +72,25 @@ def main():
     def fwd(tiles):
         return model.apply({"params": params}, tiles)
 
-    # frame-batched runner: one device dispatch per burst of frames
-    run = make_tiled_pyramid_runner_frames(fwd, frames_per_burst, h, w, ps, overlap)
+    run = make_tiled_pyramid_runner(fwd, h, w, ps, overlap)
 
     rng = np.random.default_rng(0)
-    burst = np.stack(
-        [rng.integers(0, 256, (h, w)).astype(np.uint8)
-         for _ in range(frames_per_burst)]
-    )
+    frames = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(4)]
 
-    # warmup (compile)
-    jax.block_until_ready(run(jnp.asarray(burst)))
+    # warmup (compile or persistent-cache hit)
+    jax.block_until_ready(run(jnp.asarray(frames[0])))
 
-    # production-shaped pipeline: H2D transfer of each burst included, bursts
+    # production-shaped pipeline: per-frame H2D transfer included, frames
     # issued asynchronously (transfers overlap compute), one sync at the end
-    n_rep = 4
+    n_rep = 3
     t0 = time.perf_counter()
     outs = []
     for _ in range(n_rep):
-        outs.append(run(jnp.asarray(burst))[0])
+        for fr in frames:
+            outs.append(run(jnp.asarray(fr))[0])
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
-    mp = n_rep * frames_per_burst * h * w / 1e6
+    mp = n_rep * len(frames) * h * w / 1e6
     mps = mp / dt
 
     baseline = _load_baseline()

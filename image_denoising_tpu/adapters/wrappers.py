@@ -64,7 +64,11 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
     if use_pallas:
         from ..memory.retrieval_pallas import top1_l2_retrieval
 
-        idx = top1_l2_retrieval(noisy_flat, memory_noise_flat, sq_norms)
+        n, d = memory_noise_flat.shape
+        tile_d = 2048 if d % 2048 == 0 else d
+        tile_n = 512 if n % 512 == 0 else n
+        idx = top1_l2_retrieval(noisy_flat, memory_noise_flat, sq_norms,
+                                tile_n=tile_n, tile_d=tile_d)
         return jnp.take(memory_clean, idx, axis=0)
     a2 = jnp.sum(noisy_flat**2, axis=1, keepdims=True)  # [B,1]
     ab = jax.lax.dot_general(

@@ -39,6 +39,9 @@ def parse_args(argv=None):
     parser.add_argument("--adapter_variant", type=str, default="hyper_gated_fft",
                         choices=["memory_residual", "lowfreq_blend", "tone_curve",
                                  "hyper_gated", "hyper_gated_fft"])
+    parser.add_argument("--pallas_retrieval", action="store_true",
+                        help="stream the bank through VMEM (Pallas kernel) "
+                             "instead of materializing the [B,N] distance matrix")
     parser.add_argument("--bank_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--tile_batch", type=int, default=0)
@@ -70,12 +73,14 @@ def main(argv=None):
         clean_all[:num_mem], noise_all[:num_mem],
         patch_size=opt.patch_size, stride=opt.memory_stride,
         bank_dtype=opt.bank_dtype,
+        pad_to=512 if opt.pallas_retrieval else 0,
     )
 
     base = build_model(opt.arch, opt.n_channel, opt.n_feature)
     wrapper = DenoiserWithMemoryAdapter(
         base=base, in_channels=opt.n_channel,
         hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,
+        pallas_retrieval=opt.pallas_retrieval,
     )
     base_params = load_checkpoint(opt.base_ckpt, arch=opt.arch)
     adapter_params = load_checkpoint(opt.adapter_ckpt, arch=opt.adapter_variant)

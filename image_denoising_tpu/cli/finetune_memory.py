@@ -51,6 +51,9 @@ def parse_args(argv=None):
                         choices=["memory_residual", "lowfreq_blend", "tone_curve",
                                  "hyper_gated", "hyper_gated_fft"],
                         help="v1–v5; the reference hard-codes v5")
+    parser.add_argument("--pallas_retrieval", action="store_true",
+                        help="stream the bank through VMEM (Pallas kernel) "
+                             "instead of materializing the [B,N] distance matrix")
     parser.add_argument("--bank_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="noise-bank storage dtype (bf16 halves HBM)")
@@ -100,6 +103,7 @@ def main(argv=None):
         clean_all[:num_mem], noise_all[:num_mem],
         patch_size=opt.patch_size, stride=opt.memory_stride,
         bank_dtype=opt.bank_dtype,
+        pad_to=512 if opt.pallas_retrieval else 0,
     )
 
     base = build_model(opt.arch, opt.n_channel, opt.n_feature)
@@ -109,6 +113,7 @@ def main(argv=None):
     wrapper = DenoiserWithMemoryAdapter(
         base=base, in_channels=opt.n_channel,
         hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,
+        pallas_retrieval=opt.pallas_retrieval,
     )
     init_x = jnp.zeros((1, opt.patch_size, opt.patch_size, opt.n_channel))
     variables = jax.jit(wrapper.init)(

@@ -62,8 +62,15 @@ def build_memory_bank(
     patch_size: int,
     stride: int,
     bank_dtype: str = "float32",
+    pad_to: int = 0,
 ) -> MemoryBank:
-    """Build the bank from image paths (values scaled to [0,1])."""
+    """Build the bank from image paths (values scaled to [0,1]).
+
+    ``pad_to`` > 0 pads the noise bank's N up to a multiple (padding rows get
+    +inf squared norms so retrieval never selects them) — required by the
+    streaming Pallas retrieval kernel's tile grid. The clean bank stays
+    unpadded: padded indices are unreachable.
+    """
     import jax.numpy as jnp
 
     from ..data.pairs import load_image_f32
@@ -85,10 +92,21 @@ def build_memory_bank(
     noise_flat = noise.reshape(n, -1)
     sq_norms = np.sum(noise_flat.astype(np.float32) ** 2, axis=1)
 
+    if pad_to:
+        n_pad = (-n) % pad_to
+        if n_pad:
+            noise_flat = np.concatenate(
+                [noise_flat, np.zeros((n_pad, noise_flat.shape[1]), np.float32)]
+            )
+            sq_norms = np.concatenate(
+                [sq_norms, np.full((n_pad,), np.inf, np.float32)]
+            )
+
     dt = jnp.bfloat16 if bank_dtype == "bfloat16" else jnp.float32
     print(
         f"[MemoryBank] #clean patches={n}, patch_size={patch_size}, "
         f"stride={stride}, dtype={bank_dtype}"
+        + (f", padded to {noise_flat.shape[0]}" if pad_to else "")
     )
     return MemoryBank(
         noise_flat=jnp.asarray(noise_flat, dt),

@@ -86,10 +86,61 @@ def check_subsampler():
     print("subsampler kernel OK: pairs valid, uniform, deterministic")
 
 
+def check_memory_wrapper_at_scale():
+    """Memory adapter + streaming retrieval on a production-sized bf16 bank."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.adapters import DenoiserWithMemoryAdapter
+    from image_denoising_tpu.adapters.wrappers import select_memory_patch
+    from image_denoising_tpu.models import ImprovedUNet
+
+    rng = np.random.default_rng(2)
+    p, c = 128, 1
+    n = 16 * 512  # 8192 patches (a stride-8 single-image bank)
+    d = p * p * c
+    bank_noise = rng.random((n, d), dtype=np.float32).astype(np.float32)
+    bank_clean = rng.random((n, p, p, c), dtype=np.float32)
+    sq = np.sum(bank_noise.astype(np.float32) ** 2, axis=1)
+
+    queries = bank_noise[rng.integers(0, n, 4)].reshape(4, p, p, c) + (
+        rng.normal(0, 0.01, (4, p, p, c)).astype(np.float32)
+    )
+
+    bank_bf16 = jnp.asarray(bank_noise, jnp.bfloat16)
+    got_pallas = select_memory_patch(
+        jnp.asarray(queries), bank_bf16, jnp.asarray(bank_clean),
+        jnp.asarray(sq), use_pallas=True,
+    )
+    got_xla = select_memory_patch(
+        jnp.asarray(queries), bank_bf16, jnp.asarray(bank_clean),
+        jnp.asarray(sq), use_pallas=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pallas), np.asarray(got_xla), atol=0
+    )
+
+    # whole wrapper forward with pallas retrieval
+    model = ImprovedUNet(in_nc=c, out_nc=c, n_feature=16)
+    wrapper = DenoiserWithMemoryAdapter(
+        base=model, in_channels=c, hidden_channels=16, pallas_retrieval=True
+    )
+    variables = jax.jit(wrapper.init)(
+        jax.random.PRNGKey(0), jnp.asarray(queries), bank_bf16,
+        jnp.asarray(bank_clean), jnp.asarray(sq),
+    )
+    fwd = jax.jit(lambda v, q: wrapper.apply(
+        v, q, bank_bf16, jnp.asarray(bank_clean), jnp.asarray(sq)))
+    out = jax.block_until_ready(fwd(variables, jnp.asarray(queries)))
+    assert np.isfinite(np.asarray(out)).all()
+    print(f"memory wrapper at scale OK: bank {n}x{d} bf16, pallas == xla argmin")
+
+
 if __name__ == "__main__":
     import jax
 
     print("backend:", jax.default_backend(), jax.devices())
     check_retrieval()
     check_subsampler()
+    check_memory_wrapper_at_scale()
     print("ALL TPU CHECKS PASSED")
