@@ -43,19 +43,8 @@ def _load_baseline() -> float | None:
 
 
 def main():
-    # persistent compilation cache: repeat bench runs (and CLI runs) skip the
-    # multi-minute XLA compile entirely
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(REPO, ".jax_cache"))
     import jax
     import jax.numpy as jnp
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     from image_denoising_tpu.eval.tiled import make_tiled_pyramid_runner
     from image_denoising_tpu.models import ImprovedUNet

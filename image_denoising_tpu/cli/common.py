@@ -4,6 +4,11 @@ The reference CLIs accept ``--log_name`` substring dispatch (train/eval) or an
 explicit ``--arch`` (finetune); we support both everywhere. Checkpoints may be
 our native ``.ckpt`` msgpack pytrees or reference ``.pth`` files (converted on
 the fly through the import shim).
+
+Set ``IDT_COMPILATION_CACHE=1`` to enable JAX's persistent compilation cache
+(repo-local ``.jax_cache``); opt-in because some remote-compile TPU backends
+do not support executable serialization (observed to stall on this host's
+tunneled backend).
 """
 from __future__ import annotations
 
@@ -11,6 +16,25 @@ import os
 from typing import Any, Optional
 
 import numpy as np
+
+
+def enable_compilation_cache() -> None:
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+if os.environ.get("IDT_COMPILATION_CACHE") == "1":
+    enable_compilation_cache()
 
 __all__ = [
     "build_network",
