@@ -91,6 +91,15 @@ def main(argv=None):
     )
     init_x = jnp.zeros((1, opt.patch_size, opt.patch_size, opt.n_channel))
     variables = jax.jit(wrapper.init)(jax.random.PRNGKey(opt.seed), init_x)
+
+    mesh = None
+    if opt.parallel:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        base_params = replicate(mesh, base_params)
+        variables = replicate(mesh, variables)
+        print(f"data-parallel over {len(jax.devices())} devices")
     state = create_train_state(variables["params"]["adapter"], lr=opt.lr)
 
     step = make_adapter_finetune_step(
@@ -107,8 +116,13 @@ def main(argv=None):
         for i, (clean, noisy) in enumerate(
             train_dataset.batches(opt.batchsize, rng), start=1
         ):
+            batch = (clean, noisy)
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(mesh, batch)
             state, metrics = step(
-                state, base_params, jnp.asarray(clean), jnp.asarray(noisy)
+                state, base_params, jnp.asarray(batch[0]), jnp.asarray(batch[1])
             )
             losses_l1.append(float(metrics["l1"]))
             losses_iqsl.append(float(metrics["iqsl"]))

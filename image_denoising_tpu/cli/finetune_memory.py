@@ -115,6 +115,14 @@ def main(argv=None):
         hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,
         pallas_retrieval=opt.pallas_retrieval,
     )
+    mesh = None
+    if opt.parallel:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        base_params = replicate(mesh, base_params)
+        print(f"data-parallel over {len(jax.devices())} devices")
+
     init_x = jnp.zeros((1, opt.patch_size, opt.patch_size, opt.n_channel))
     variables = jax.jit(wrapper.init)(
         jax.random.PRNGKey(opt.seed), init_x,
@@ -154,8 +162,13 @@ def main(argv=None):
         for i, (clean, noisy) in enumerate(
             train_dataset.batches(opt.batchsize, rng), start=1
         ):
+            batch = (clean, noisy)
+            if mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(mesh, batch)
             state, metrics = step(
-                state, base_params, jnp.asarray(clean), jnp.asarray(noisy),
+                state, base_params, jnp.asarray(batch[0]), jnp.asarray(batch[1]),
                 bank.noise_flat, bank.clean, bank.sq_norms,
             )
             losses_l1.append(float(metrics["l1"]))

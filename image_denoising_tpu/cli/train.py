@@ -146,10 +146,10 @@ def main(argv=None):
         ):
             if opt.max_steps_per_epoch and it >= opt.max_steps_per_epoch:
                 break
-            if opt.profile_dir and epoch == opt.start_epoch and it == 1:
+            if opt.profile_dir and epoch == opt.start_epoch and it == 0:
                 jax.profiler.start_trace(opt.profile_dir)
                 profiling = True
-            if profiling and it == 1 + opt.profile_steps:
+            if profiling and it == opt.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profiler trace written to {opt.profile_dir}")

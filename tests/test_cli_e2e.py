@@ -96,3 +96,38 @@ def test_train_n2n_mode(fixture_dataset, tmp_path):
         "--n_epoch", "1",
         "--batchsize", "2",
     ])
+
+
+def test_train_resume_and_profile(fixture_dataset, tmp_path):
+    """--resume continues params; --profile_dir writes a trace."""
+    import glob
+
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path / "resume_results")
+    train_cli.main([
+        "--data_dir", fixture_dataset,
+        "--save_model_path", save_root,
+        "--log_name", "UNetImproved_resume",
+        "--n_feature", "8",
+        "--n_epoch", "1",
+        "--batchsize", "2",
+    ])
+    ckpt = glob.glob(os.path.join(save_root, "**", "epoch_model_001.ckpt"),
+                     recursive=True)[0]
+
+    prof_dir = str(tmp_path / "trace")
+    train_cli.main([
+        "--data_dir", fixture_dataset,
+        "--save_model_path", str(tmp_path / "resume2"),
+        "--log_name", "UNetImproved_resume",
+        "--n_feature", "8",
+        "--n_epoch", "2",
+        "--start_epoch", "2",
+        "--batchsize", "2",
+        "--resume", ckpt,
+        "--profile_dir", prof_dir,
+        "--profile_steps", "1",
+    ])
+    # a trace directory with content was produced
+    assert os.path.isdir(prof_dir) and len(os.listdir(prof_dir)) > 0

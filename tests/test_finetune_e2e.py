@@ -144,3 +144,24 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
         "--compute_iq_iou",
     ])
     assert avg["psnr"] > 5.0 and "iou_dark" in avg
+
+
+def test_finetune_parallel_flag(fixture_dataset, base_ckpt, tmp_path):
+    """--parallel shards patch batches over the 8-device CPU mesh."""
+    from image_denoising_tpu.cli import finetune
+
+    save_root = str(tmp_path / "ft_par")
+    finetune.main([
+        "--data_dir", fixture_dataset,
+        "--pretrained_ckpt", base_ckpt,
+        "--arch", "UNetImproved",
+        "--save_model_path", save_root,
+        "--log_name", "ft_par",
+        "--n_feature", "16",
+        "--n_epoch", "1",
+        "--batchsize", "8",
+        "--patch_size", "32",
+        "--patches_per_image", "8",
+        "--parallel",
+    ])
+    assert os.path.exists(os.path.join(save_root, "ft_par", "epoch_adapter_001.ckpt"))
