@@ -122,8 +122,16 @@ def _chunked_forward(model_call, tiles, batch: int, extra=()):
     """Run [T,ps,ps,C] through model_call in fixed-size chunks (pad last).
 
     ``extra`` is threaded through to model_call (e.g. params, memory banks) so
-    they stay runtime arguments instead of baked compile-time constants."""
+    they stay runtime arguments instead of baked compile-time constants.
+
+    batch == -1 selects ``lax.map`` over tiles: the network body is compiled
+    ONCE and looped — a large compile-time win on slow-compile backends for a
+    small throughput cost (each 352² tile still saturates the MXU)."""
     t = tiles.shape[0]
+    if batch == -1:
+        return jax.lax.map(
+            lambda tile: model_call(tile[None], *extra)[0], tiles
+        )
     if batch <= 0 or batch >= t:
         return model_call(tiles, *extra)
     outs = []

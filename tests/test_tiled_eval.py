@@ -174,3 +174,14 @@ def test_frame_batched_runner_matches_per_frame(rng):
                                            ps=64, overlap=32)
         np.testing.assert_allclose(np.asarray(outs)[i], single, atol=1e-6)
         assert abs(float(l1s[i]) - l1) < 1e-6
+
+
+def test_scan_tiles_equivalence(rng):
+    """batch=-1 (lax.map over tiles) must match the fully-batched path."""
+    noisy = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    full, l1a = denoise_tiled_pyramid(_wrap(_affine_model), noisy, ps=64, overlap=32)
+    scanned, l1b = denoise_tiled_pyramid(
+        _wrap(_affine_model), noisy, ps=64, overlap=32, batch=-1
+    )
+    np.testing.assert_allclose(full, scanned, atol=1e-6)
+    assert abs(l1a - l1b) < 1e-6
