@@ -115,3 +115,25 @@ def test_train_opt_cli_e2e(tmp_path):
     finals = glob.glob(str(tmp_path / "results" / "**" / "epoch_final_001.ckpt"),
                        recursive=True)
     assert finals
+
+
+def test_thread_parallel_trials(tmp_path):
+    """n_jobs>1 runs trials on worker threads (reference: one per device)."""
+    import threading
+
+    db = f"sqlite:///{tmp_path}/par.db"
+    study = create_study("par", storage=db)
+    seen_threads = set()
+
+    def objective(trial):
+        seen_threads.add(threading.get_ident())
+        x = trial.suggest_float("x", 0.0, 1.0)
+        return x
+
+    study.optimize(objective, n_trials=6, n_jobs=3)
+    assert len(study.trials) == 6
+    assert all(t.value is not None for t in study.trials)
+    assert len(seen_threads) >= 2
+    # storage consistent after concurrent writes
+    study2 = create_study("par", storage=db)
+    assert len(study2.trials) == 6

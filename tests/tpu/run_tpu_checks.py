@@ -120,18 +120,18 @@ def check_memory_wrapper_at_scale():
         np.asarray(got_pallas), np.asarray(got_xla), atol=0
     )
 
-    # whole wrapper forward with pallas retrieval
+    # whole wrapper forward with pallas retrieval — one compile only
+    # (init_with_output runs the full forward; a second jit of the same
+    # forward has been seen to overload this host's remote-compile tunnel)
     model = ImprovedUNet(in_nc=c, out_nc=c, n_feature=16)
     wrapper = DenoiserWithMemoryAdapter(
         base=model, in_channels=c, hidden_channels=16, pallas_retrieval=True
     )
-    variables = jax.jit(wrapper.init)(
+    out, _ = jax.jit(wrapper.init_with_output)(
         jax.random.PRNGKey(0), jnp.asarray(queries), bank_bf16,
         jnp.asarray(bank_clean), jnp.asarray(sq),
     )
-    fwd = jax.jit(lambda v, q: wrapper.apply(
-        v, q, bank_bf16, jnp.asarray(bank_clean), jnp.asarray(sq)))
-    out = jax.block_until_ready(fwd(variables, jnp.asarray(queries)))
+    out = jax.block_until_ready(out)
     assert np.isfinite(np.asarray(out)).all()
     print(f"memory wrapper at scale OK: bank {n}x{d} bf16, pallas == xla argmin")
 
