@@ -61,7 +61,10 @@ def main():
     def fwd(tiles):
         return model.apply({"params": params}, tiles)
 
-    run = make_tiled_pyramid_runner(fwd, h, w, ps, overlap)
+    # batch=-1: lax.map tile scan — compiles the network body once (~2.5 min
+    # vs ~15 min for the 9-tile batched program on this backend) AND measures
+    # faster (better VMEM locality per tile)
+    run = make_tiled_pyramid_runner(fwd, h, w, ps, overlap, batch=-1)
 
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(4)]

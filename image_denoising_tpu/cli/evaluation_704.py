@@ -25,8 +25,10 @@ def parse_args(argv=None):
     parser.add_argument("--gpu_devices", default="0", type=str)
     parser.add_argument("--tile", type=int, default=352)
     parser.add_argument("--overlap", type=int, default=64)
-    parser.add_argument("--tile_batch", type=int, default=0,
-                        help="forward chunk size; 0 = all tiles in one batch")
+    parser.add_argument("--tile_batch", type=int, default=-1,
+                        help="forward chunk size; 0 = all tiles in one batch, "
+                             "-1 = lax.map tile scan (default: fastest compile "
+                             "and best measured throughput on TPU)")
     # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)

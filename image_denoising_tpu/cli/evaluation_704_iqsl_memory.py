@@ -44,7 +44,8 @@ def parse_args(argv=None):
                              "instead of materializing the [B,N] distance matrix")
     parser.add_argument("--bank_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--tile_batch", type=int, default=0)
+    parser.add_argument("--tile_batch", type=int, default=-1,
+                        help="-1 = lax.map tile scan; 0 = one batch")
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
