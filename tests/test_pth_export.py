@@ -69,3 +69,38 @@ def test_export_roundtrip_adapter(rng, tmp_path):
 
     for a, b in zip(jtu.tree_leaves(params), jtu.tree_leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+@requires_reference
+def test_dataparallel_prefix_strip(rng, tmp_path):
+    """module.-prefixed (DataParallel) checkpoints load transparently."""
+    import sys
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import arch_unet
+
+        from image_denoising_tpu.ckpt.pth_import import import_pth, load_state_dict
+
+        torch.manual_seed(9)
+        net = arch_unet.ImprovedUNet(in_nc=1, out_nc=1, n_feature=16)
+        sd = {f"module.{k}": v for k, v in net.state_dict().items()}
+        path = str(tmp_path / "dp.pth")
+        torch.save(sd, path)
+
+        params = import_pth(load_state_dict(path), "UNetImproved")
+        import jax.numpy as jnp
+
+        from image_denoising_tpu.models import ImprovedUNet
+
+        model = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16)
+        x = rng.random((1, 1, 32, 32), dtype=np.float32)
+        with torch.no_grad():
+            y_ref = net(torch.from_numpy(x)).numpy()
+        y = model.apply({"params": params},
+                        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(y), (0, 3, 1, 2)), y_ref, atol=2e-5, rtol=1e-4
+        )
+    finally:
+        sys.path.remove(REFERENCE_DIR)
