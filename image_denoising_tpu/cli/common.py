@@ -51,14 +51,16 @@ def build_network(
     n_channel: int,
     n_feature: int,
     dtype=None,
+    remat: bool = False,
 ):
     """Explicit --arch wins; otherwise reference log_name substring dispatch."""
     from ..models.registry import build_model, build_model_from_log_name
 
     if arch:
-        return build_model(arch, n_channel, n_feature, dtype=dtype)
+        return build_model(arch, n_channel, n_feature, dtype=dtype, remat=remat)
     if log_name:
-        return build_model_from_log_name(log_name, n_channel, n_feature, dtype=dtype)
+        return build_model_from_log_name(log_name, n_channel, n_feature,
+                                         dtype=dtype, remat=remat)
     raise ValueError("need --arch or --log_name to select an architecture")
 
 

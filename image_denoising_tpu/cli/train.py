@@ -61,6 +61,10 @@ def parse_args(argv=None):
                         help="write a jax.profiler trace of the first training "
                              "steps of the first epoch to this directory")
     parser.add_argument("--profile_steps", type=int, default=5)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize RDB/Res/Up blocks during backward "
+                             "(trade FLOPs for HBM; needed for batch-4 352² "
+                             "ImprovedUNet training on 16 GB chips)")
     opt, _ = parser.parse_known_args(argv)
     return opt
 
@@ -90,7 +94,8 @@ def main(argv=None):
     dataset = DenoiseDataset(opt.data_dir)
     valid = validation_denoise(opt.data_dir)
 
-    network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature)
+    network = build_network(opt.arch, opt.log_name, opt.n_channel,
+                            opt.n_feature, remat=opt.remat)
 
     # infer frame geometry from the first pair for init
     c0, n0 = dataset.get(0)

@@ -86,16 +86,26 @@ class UpBlock(nn.Module):
 
 
 class ImprovedUNet(nn.Module):
+    """``remat=True`` rematerializes the RDB/ResBlock/UpBlock interiors during
+    backward (jax.checkpoint via nn.remat) — the dense-concat activations of
+    the full-resolution levels dominate training HBM (batch-4 352² training
+    needs ~19 GB without remat, beyond a 16 GB v5e chip). Param names are
+    unchanged, so checkpoints are interchangeable across the flag."""
+
     in_nc: int = 3
     out_nc: int = 3
     n_feature: int = 48
     depth: int = 4
     noise: bool = True
+    remat: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
+        RDB_ = nn.remat(RDB) if self.remat else RDB
+        ResBlock_ = nn.remat(ResBlock) if self.remat else ResBlock
+        UpBlock_ = nn.remat(UpBlock) if self.remat else UpBlock
         if self.noise:
             h = Conv(self.n_feature, init="torch", dtype=dt, name="noise_est_conv0")(x)
             h = leaky_relu(h)
@@ -108,19 +118,19 @@ class ImprovedUNet(nn.Module):
         nf = self.n_feature
         for i in range(self.depth):
             x = leaky_relu(Conv(nf, init="torch", dtype=dt, name=f"down{i}_conv")(x))
-            x = RDB(nf, dtype=dt, name=f"down{i}_rdb")(x)
-            x = ResBlock(nf, dtype=dt, name=f"down{i}_res")(x)
+            x = RDB_(nf, dtype=dt, name=f"down{i}_rdb")(x)
+            x = ResBlock_(nf, dtype=dt, name=f"down{i}_res")(x)
             skips.append(x)
             x = max_pool_2x2(x)
             nf *= 2
 
         nf //= 2  # bottleneck width = deepest encoder width
-        x = RDB(nf, dtype=dt, name="bottle_rdb")(x)
-        x = ResBlock(nf, dtype=dt, name="bottle_res")(x)
+        x = RDB_(nf, dtype=dt, name="bottle_rdb")(x)
+        x = ResBlock_(nf, dtype=dt, name="bottle_res")(x)
 
         for i in range(self.depth):
             nf //= 2
-            x = UpBlock(nf, dtype=dt, name=f"up{i}")(x, skips[-(i + 1)])
+            x = UpBlock_(nf, dtype=dt, name=f"up{i}")(x, skips[-(i + 1)])
 
         x = jnp.concatenate([x, orig], axis=-1)
         x = Conv(self.out_nc, init="torch", dtype=dt, name="final")(x)

@@ -23,6 +23,7 @@ def build_model(
     n_feature: int = 48,
     blindspot: bool = False,
     dtype: Optional[Any] = None,
+    remat: bool = False,
 ):
     if arch == "UNet":
         return UNet(in_nc=n_channel, out_nc=n_channel, n_feature=n_feature,
@@ -32,7 +33,7 @@ def build_model(
                       blindspot=blindspot, dtype=dtype)
     if arch == "UNetImproved":
         return ImprovedUNet(in_nc=n_channel, out_nc=n_channel, n_feature=n_feature,
-                            dtype=dtype)
+                            remat=remat, dtype=dtype)
     raise ValueError(f"Unknown arch: {arch!r} (choose from {ARCHS})")
 
 
@@ -41,6 +42,7 @@ def build_model_from_log_name(
     n_channel: int = 1,
     n_feature: int = 48,
     dtype: Optional[Any] = None,
+    remat: bool = False,
 ):
     """Reference substring dispatch (train.py:298-314), priority order kept."""
     if "UNET" in log_name and "blindspot" in log_name:
@@ -50,7 +52,8 @@ def build_model_from_log_name(
     if "RESNET" in log_name:
         return build_model("RESNET", n_channel, n_feature, dtype=dtype)
     if "UNetImproved" in log_name:
-        return build_model("UNetImproved", n_channel, n_feature, dtype=dtype)
+        return build_model("UNetImproved", n_channel, n_feature, dtype=dtype,
+                           remat=remat)
     raise ValueError(
         f"log_name {log_name!r} matches no architecture "
         "(need one of UNET / RESNET / UNetImproved as a substring)"

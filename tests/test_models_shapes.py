@@ -66,3 +66,27 @@ def test_unet_jit_compiles():
     fn = jax.jit(lambda p, v: model.apply(p, v))
     y = fn(params, x)
     assert y.shape == x.shape
+
+
+def test_improved_unet_remat_equivalence(rng):
+    """remat=True must not change outputs, grads, or param naming."""
+    import numpy as np
+
+    base = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16)
+    remat = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 1), dtype=np.float32))
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    params_r = remat.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_r)
+
+    y0 = base.apply({"params": params}, x)
+    y1 = remat.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(p, model):
+        return jnp.mean((model.apply({"params": p}, x) - 0.5) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, base))(params)
+    g1 = jax.grad(lambda p: loss(p, remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
