@@ -73,15 +73,19 @@ def main():
     jax.block_until_ready(run(jnp.asarray(frames[0])))
 
     # production-shaped pipeline: per-frame H2D transfer included, frames
-    # issued asynchronously (transfers overlap compute), one sync at the end
+    # issued asynchronously (transfers overlap compute). Every output is
+    # materialized on the host (np.asarray) — block_until_ready alone has
+    # been observed to return early on this tunneled backend, inflating
+    # numbers; a D2H fetch cannot lie.
     n_rep = 3
     t0 = time.perf_counter()
     outs = []
     for _ in range(n_rep):
         for fr in frames:
             outs.append(run(jnp.asarray(fr))[0])
-    jax.block_until_ready(outs)
+    host = [np.asarray(o) for o in outs]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(hh).all() for hh in host)
     mp = n_rep * len(frames) * h * w / 1e6
     mps = mp / dt
 
