@@ -61,10 +61,12 @@ def parse_args(argv=None):
                         help="write a jax.profiler trace of the first training "
                              "steps of the first epoch to this directory")
     parser.add_argument("--profile_steps", type=int, default=5)
-    parser.add_argument("--remat", action="store_true",
+    parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                        default=True,
                         help="rematerialize RDB/Res/Up blocks during backward "
-                             "(trade FLOPs for HBM; needed for batch-4 352² "
-                             "ImprovedUNet training on 16 GB chips)")
+                             "(trades FLOPs for HBM; the reference's batch-4 "
+                             "352² ImprovedUNet training needs ~19 GB without "
+                             "it and OOMs a 16 GB chip). --no-remat disables.")
     opt, _ = parser.parse_known_args(argv)
     return opt
 
