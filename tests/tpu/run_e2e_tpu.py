@@ -19,10 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
 
 
-def make_dataset(root: str, n: int = 3, size: int = 704) -> str:
+def make_dataset(root: str, name: str, n: int = 3, size: int = 704) -> str:
     from PIL import Image
 
-    data = os.path.join(root, "data")
+    data = os.path.join(root, name)
     os.makedirs(os.path.join(data, "clean"))
     os.makedirs(os.path.join(data, "noise"))
     rng = np.random.default_rng(0)
@@ -44,7 +44,11 @@ def main():
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     root = tempfile.mkdtemp(prefix="idt_e2e_")
-    data = make_dataset(root)
+    # reference geometry (SURVEY.md §6): A-domain TRAIN tiles are 352²,
+    # B-domain EVAL frames are 704² (704² training OOMs even the reference's
+    # GPUs' regime — it was never trained at frame size)
+    train_data = make_dataset(root, "a_domain", n=4, size=352)
+    data = make_dataset(root, "b_domain", n=3, size=704)
 
     from image_denoising_tpu.cli import (
         evaluation_704_iqsl,
@@ -55,12 +59,12 @@ def main():
 
     t0 = time.time()
     train.main([
-        "--data_dir", data,
+        "--data_dir", train_data,
         "--save_model_path", os.path.join(root, "results"),
         "--log_name", "UNetImproved_e2e",
         "--n_feature", "48",
         "--n_epoch", "1",
-        "--batchsize", "2",
+        "--batchsize", "4",
     ])
     ckpts = glob.glob(os.path.join(root, "results", "**", "epoch_model_001.ckpt"),
                       recursive=True)
