@@ -64,7 +64,10 @@ def main():
     # batch=-1: lax.map tile scan — compiles the network body once (~2.5 min
     # vs ~15 min for the 9-tile batched program on this backend) AND measures
     # faster (better VMEM locality per tile)
-    run = make_tiled_pyramid_runner(fwd, h, w, ps, overlap, batch=-1)
+    # uint8_floor output: the evaluation_704 quantization fused on device,
+    # shipping 0.5 MB instead of 2 MB per frame over the transport
+    run = make_tiled_pyramid_runner(fwd, h, w, ps, overlap, batch=-1,
+                                    out_dtype="uint8_floor")
 
     rng = np.random.default_rng(0)
     frames = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(4)]
@@ -85,7 +88,7 @@ def main():
             outs.append(run(jnp.asarray(fr))[0])
     host = [np.asarray(o) for o in outs]
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(hh).all() for hh in host)
+    assert all(hh.dtype == np.uint8 for hh in host)
     mp = n_rep * len(frames) * h * w / 1e6
     mps = mp / dt
 

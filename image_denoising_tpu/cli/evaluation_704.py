@@ -58,10 +58,11 @@ def evaluate(opt):
         clean_u8 = np.asarray(clean).astype(np.uint8)
         noisy_u8 = np.asarray(noisy).astype(np.uint8)
 
-        pred01, l1_val = denoise_tiled_pyramid(
-            fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap, batch=opt.tile_batch
+        # uint8 quantization (reference: clip(p·255), NO +0.5) fused on device
+        pred255, l1_val = denoise_tiled_pyramid(
+            fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
+            batch=opt.tile_batch, out_dtype="uint8_floor",
         )
-        pred255 = np.clip(pred01 * 255.0, 0, 255).astype(np.uint8)
 
         save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
         save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)

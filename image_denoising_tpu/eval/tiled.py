@@ -213,16 +213,31 @@ def _shard_tiles(tiles, mesh):
     return tiles, t
 
 
+def _quantize(out01, out_dtype: str):
+    """On-device uint8 quantization — both reference rounding conventions.
+
+    'uint8_floor' = clip(p·255) without +0.5 (evaluation_704.py:120);
+    'uint8_round' = clip(p·255 + 0.5) (evaluation.py:83, memory eval).
+    Shipping uint8 instead of f32 cuts the D2H transfer 4×.
+    """
+    if out_dtype == "float32":
+        return out01
+    bias = 0.5 if out_dtype == "uint8_round" else 0.0
+    return jnp.clip(out01 * 255.0 + bias, 0, 255).astype(jnp.uint8)
+
+
 def make_tiled_pyramid_runner(
     model_call: Callable, h: int, w: int, ps: int = 352, overlap: int = 64,
-    batch: int = 0, mesh=None,
+    batch: int = 0, mesh=None, out_dtype: str = "float32",
 ):
-    """One fully-jitted program: frame [H,W] float255 → (pred01, mean tile L1).
+    """One fully-jitted program: frame [H,W] float255 → (pred, mean tile L1).
 
     Gather (with reflect edge handling), batched forward, weighting, and the
     scatter-add blend all fuse into a single device program — zero eager ops
     per frame after the first call. Pass ``mesh`` to shard the tile batch over
-    devices (huge-frame spatial parallelism).
+    devices (huge-frame spatial parallelism). ``out_dtype`` in
+    {'float32', 'uint8_floor', 'uint8_round'} — uint8 fuses the quantization
+    on device (see _quantize).
     """
     stride = ps - overlap
     grid = reference_tile_grid(h, w, ps, stride)
@@ -250,7 +265,7 @@ def make_tiled_pyramid_runner(
         tiles = tiles[:n_tiles]
         l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
         out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
-        return out, l1
+        return _quantize(out, out_dtype), l1
 
     return run
 
@@ -304,21 +319,23 @@ def denoise_tiled_pyramid(
     overlap: int = 64,
     batch: int = 0,
     extra=(),
+    out_dtype: str = "float32",
 ):
     """Tiled-352 pyramid-blend full-frame denoise (evaluation_704.py engine).
 
-    noisy255: [H,W] uint8/float in [0,255]. Returns (pred01 [H,W] float32,
-    mean per-tile L1(pred, padded_input)). Jitted programs are cached per
-    (model, geometry); pass changing values (params, banks) via ``extra``.
+    noisy255: [H,W] uint8/float in [0,255]. Returns (pred [H,W] — float32 in
+    [0,1] or uint8 per ``out_dtype``, mean per-tile L1(pred, padded_input)).
+    Jitted programs are cached per (model, geometry); pass changing values
+    (params, banks) via ``extra``.
     """
     noisy = np.asarray(noisy255)
     assert noisy.ndim == 2, "tiled pyramid eval is single-channel"
     h, w = noisy.shape
-    key = ("pyr", id(model_call), h, w, ps, overlap, batch)
+    key = ("pyr", id(model_call), h, w, ps, overlap, batch, out_dtype)
     run = _RUNNER_CACHE.get(key)
     if run is None:
         run = _RUNNER_CACHE[key] = make_tiled_pyramid_runner(
-            model_call, h, w, ps, overlap, batch
+            model_call, h, w, ps, overlap, batch, out_dtype=out_dtype
         )
     out, l1 = run(jnp.asarray(noisy), *extra)
     return np.asarray(out), float(l1)

@@ -185,3 +185,18 @@ def test_scan_tiles_equivalence(rng):
     )
     np.testing.assert_allclose(full, scanned, atol=1e-6)
     assert abs(l1a - l1b) < 1e-6
+
+
+def test_on_device_uint8_quantization(rng):
+    """Device-fused uint8 output equals host rounding of the f32 output."""
+    noisy = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    f32, _ = denoise_tiled_pyramid(_wrap(_affine_model), noisy, ps=64, overlap=32)
+    u8f, _ = denoise_tiled_pyramid(_wrap(_affine_model), noisy, ps=64, overlap=32,
+                                   out_dtype="uint8_floor")
+    u8r, _ = denoise_tiled_pyramid(_wrap(_affine_model), noisy, ps=64, overlap=32,
+                                   out_dtype="uint8_round")
+    assert u8f.dtype == np.uint8 and u8r.dtype == np.uint8
+    np.testing.assert_array_equal(u8f, np.clip(f32 * 255.0, 0, 255).astype(np.uint8))
+    np.testing.assert_array_equal(
+        u8r, np.clip(f32 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    )
