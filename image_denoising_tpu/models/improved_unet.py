@@ -103,6 +103,14 @@ class ImprovedUNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
+        div = 2 ** self.depth
+        h, w = x.shape[1], x.shape[2]
+        if h % div or w % div:
+            raise ValueError(
+                f"ImprovedUNet(depth={self.depth}) needs H and W divisible by "
+                f"{div}; got ({h},{w}). The torch reference shares this "
+                f"constraint (PixelShuffle doubling vs floored pooling)."
+            )
         RDB_ = nn.remat(RDB) if self.remat else RDB
         ResBlock_ = nn.remat(ResBlock) if self.remat else ResBlock
         UpBlock_ = nn.remat(UpBlock) if self.remat else UpBlock

@@ -52,6 +52,15 @@ class UNet(nn.Module):
         bs = self.blindspot
         nf = self.n_feature
         dt = self.dtype
+        h, w = x.shape[1], x.shape[2]
+        if h % 32 or w % 32:
+            raise ValueError(
+                f"UNet needs H and W divisible by 32 (5 pool levels); got "
+                f"({h},{w}). The torch reference has the same constraint (its "
+                f"decoder concat fails on odd pooled dims). For N2N training "
+                f"the 2x2 subsampler halves the frame, so frames must be "
+                f"divisible by 64."
+            )
 
         def conv(name, feats, kernel=3, init="kaiming01"):
             mod = Conv(feats, kernel=kernel, init=init, dtype=dt, name=name)

@@ -90,3 +90,15 @@ def test_improved_unet_remat_equivalence(rng):
     g1 = jax.grad(lambda p: loss(p, remat))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_unet_rejects_indivisible_dims():
+    model = UNet(in_nc=1, out_nc=1, n_feature=8)
+    with pytest.raises(ValueError, match="divisible by 32"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 176, 176, 1)))
+
+
+def test_improved_unet_rejects_indivisible_dims():
+    model = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16)
+    with pytest.raises(ValueError, match="divisible by 16"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 1)))
