@@ -98,12 +98,13 @@ def main(argv=None):
         noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
         clean255 = np.asarray(clean).astype(np.uint8)
 
-        pred = denoise_tiled_hann(
+        # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
+        pred255 = denoise_tiled_hann(
             model_call, np.asarray(noisy), ps=opt.patch_size,
             overlap=opt.overlap, batch=opt.tile_batch,
             extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
-        )
-        pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze(-1)
+            out_dtype="uint8_round",
+        ).squeeze(-1)
 
         save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
                  mode="L")

@@ -362,9 +362,9 @@ def _blend_hann(preds, r0s, c0s, window, h: int, w: int, ps: int):
 
 def make_tiled_hann_runner(
     model_call: Callable, h: int, w: int, ps: int = 128, overlap: int = 64,
-    batch: int = 0, mesh=None,
+    batch: int = 0, mesh=None, out_dtype: str = "float32",
 ):
-    """One fully-jitted program: frame [H,W] float255 → pred01 [H,W]."""
+    """One fully-jitted program: frame [H,W] float255 → pred [H,W]."""
     grid = edge_aligned_grid(h, w, ps, overlap)
     r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
     c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
@@ -381,7 +381,8 @@ def make_tiled_hann_runner(
             tiles, n_tiles = _shard_tiles(tiles, mesh)
         preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
         preds = preds[:n_tiles]
-        return _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
+        out = _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
+        return _quantize(out, out_dtype)
 
     return run
 
@@ -393,6 +394,7 @@ def denoise_tiled_hann(
     overlap: int = 64,
     batch: int = 0,
     extra=(),
+    out_dtype: str = "float32",
 ):
     """Hann²-blended patchwise denoise (denoise_full_image_patchwise engine).
 
@@ -404,10 +406,10 @@ def denoise_tiled_hann(
     if noisy.ndim == 3 and noisy.shape[2] == 1:
         noisy = noisy[..., 0]
     h, w = noisy.shape
-    key = ("hann", id(model_call), h, w, ps, overlap, batch)
+    key = ("hann", id(model_call), h, w, ps, overlap, batch, out_dtype)
     run = _RUNNER_CACHE.get(key)
     if run is None:
         run = _RUNNER_CACHE[key] = make_tiled_hann_runner(
-            model_call, h, w, ps, overlap, batch
+            model_call, h, w, ps, overlap, batch, out_dtype=out_dtype
         )
     return np.asarray(run(jnp.asarray(noisy), *extra))[..., None]

@@ -200,3 +200,14 @@ def test_on_device_uint8_quantization(rng):
     np.testing.assert_array_equal(
         u8r, np.clip(f32 * 255.0 + 0.5, 0, 255).astype(np.uint8)
     )
+
+
+def test_hann_uint8_round_mode(rng):
+    noisy = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    f32 = denoise_tiled_hann(_wrap(_affine_model), noisy, ps=64, overlap=32)
+    u8 = denoise_tiled_hann(_wrap(_affine_model), noisy, ps=64, overlap=32,
+                            out_dtype="uint8_round")
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        u8[..., 0], np.clip(f32[..., 0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    )
