@@ -61,6 +61,11 @@ def parse_args(argv=None):
                         help="write a jax.profiler trace of the first training "
                              "steps of the first epoch to this directory")
     parser.add_argument("--profile_steps", type=int, default=5)
+    parser.add_argument("--subsampler", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="N2N mask-pair source: xla (reproducible "
+                             "counter-keys, any backend) or pallas (fused "
+                             "on-core PRNG kernel, TPU only)")
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="rematerialize RDB/Res/Up blocks during backward "
@@ -131,6 +136,7 @@ def main(argv=None):
         step_fn = make_n2n_train_step(
             network.apply, noise_fn=aug.add_train_noise,
             increase_ratio=opt.increase_ratio, n_epoch=opt.n_epoch,
+            subsampler=opt.subsampler,
         )
     opkeys = OperationSeed(opt.seed)
 

@@ -127,6 +127,7 @@ def make_n2n_train_step(
     noise_fn: Optional[Callable] = None,
     increase_ratio: float = 2.0,
     n_epoch: int = 100,
+    subsampler: str = "xla",
 ):
     """Neighbor2Neighbor self-supervised step (training_script.md:126-156).
 
@@ -134,6 +135,10 @@ def make_n2n_train_step(
     two sub-image gathers → f(sub1) + no-grad f(noisy) → regularized loss →
     backward → Adam. ``noise_fn(key, clean01) -> noisy01`` is optional — when
     None the step consumes real noisy frames (SEM pairs).
+
+    ``subsampler``: 'xla' (counter-keyed jax.random + gather, reproducible
+    across backends) or 'pallas' (fused on-core PRNG kernel, TPU only —
+    different random stream, identical distribution).
     """
 
     def loss_fn(params, noisy01, sel1, sel2, lam):
@@ -156,7 +161,13 @@ def make_n2n_train_step(
             kmask = key
             noisy01 = noisy255.astype(jnp.float32) / 255.0
         lam = epoch.astype(jnp.float32) / n_epoch * increase_ratio
-        sel1, sel2 = generate_mask_pair(kmask, noisy01.shape)
+        if subsampler == "pallas":
+            from ..ops.neighbor_pallas import subsample_pair_pallas
+
+            seed = jax.random.randint(kmask, (), 0, 2**31 - 1)
+            _, _, (sel1, sel2) = subsample_pair_pallas(seed, noisy01)
+        else:
+            sel1, sel2 = generate_mask_pair(kmask, noisy01.shape)
         (loss, (l_rec, l_reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, noisy01, sel1, sel2, lam
         )
