@@ -111,13 +111,9 @@ def main(argv=None):
     params = variables["params"]
     if opt.resume:
         from ..ckpt import load_checkpoint
+        from .common import _arch_name
 
-        params = load_checkpoint(
-            opt.resume, arch=opt.arch or None
-        ) if not opt.resume.endswith(".pth") else load_checkpoint(
-            opt.resume,
-            arch=opt.arch or type(network).__name__.replace("ImprovedUNet", "UNetImproved"),
-        )
+        params = load_checkpoint(opt.resume, arch=_arch_name(network))
         print(f"Resumed params from {opt.resume}")
 
     mesh = None
