@@ -124,3 +124,17 @@ def test_augment_noise_parse_matches_reference_units():
     aug = AugmentNoise("poisson30")
     assert aug.style == "poisson_fix"
     assert aug.params[0] == 30.0
+
+
+def test_step_timer():
+    import time
+
+    from image_denoising_tpu.utils import StepTimer
+
+    t = StepTimer(ema=0.5)
+    time.sleep(0.01)
+    a = t.step()
+    assert a >= 0.01
+    time.sleep(0.01)
+    t.step()
+    assert t.avg is not None and t.steps_per_sec > 0
