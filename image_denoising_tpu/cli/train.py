@@ -175,9 +175,12 @@ def main(argv=None):
                 )
             loss = float(metrics["loss"])
             losses.append(loss)
+            # reference log format: Loss1 = plain L1(net(noisy), clean)
+            # (train.py:369-373); the n2n path reports its rec term instead
+            l1_part = float(metrics.get("l1", metrics.get("loss_rec", loss)))
             print(
-                f"{epoch:04d} {it:05d} Loss_Full={loss:.6f} "
-                f"Time={time.time() - st:.4f}"
+                f"{epoch:04d} {it:05d} Loss1={l1_part:.6f}, "
+                f"Loss_Full={loss:.6f}, Time={time.time() - st:.4f}"
             )
 
         if profiling:
