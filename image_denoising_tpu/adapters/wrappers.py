@@ -15,6 +15,8 @@ gives the same backward cut as torch's no_grad wrapper.
 """
 from __future__ import annotations
 
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -82,19 +84,31 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
 
 
 class DenoiserWithMemoryAdapter(nn.Module):
+    """``retrieval_fn`` overrides the built-in top-1 lookup — e.g. the
+    mesh-sharded ring retrieval (``memory.sharded.make_ring_retrieval``) when
+    the bank is too big to replicate per chip. Signature:
+    ``(noisy, memory_noise_flat, memory_clean, bank_sq_norms) -> mem_clean``.
+    """
+
     base: nn.Module
     in_channels: int = 1
     hidden_channels: int = 16
     variant: str = "hyper_gated_fft"  # v5 — the reference's active adapter
     pallas_retrieval: bool = False  # stream the bank through VMEM (big banks)
+    retrieval_fn: Callable | None = None  # e.g. sharded-bank ring retrieval
 
     @nn.compact
     def __call__(self, noisy, memory_noise_flat, memory_clean, bank_sq_norms=None):
         base_out = jax.lax.stop_gradient(self.base(noisy))
-        mem_clean = select_memory_patch(
-            noisy, memory_noise_flat, memory_clean, bank_sq_norms,
-            use_pallas=self.pallas_retrieval,
-        )
+        if self.retrieval_fn is not None:
+            mem_clean = self.retrieval_fn(
+                noisy, memory_noise_flat, memory_clean, bank_sq_norms
+            )
+        else:
+            mem_clean = select_memory_patch(
+                noisy, memory_noise_flat, memory_clean, bank_sq_norms,
+                use_pallas=self.pallas_retrieval,
+            )
         adapter = build_memory_adapter(
             self.variant, self.in_channels, self.hidden_channels, name="adapter"
         )

@@ -14,6 +14,7 @@ parallel analog — SURVEY.md §5 long-context).
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -36,8 +37,31 @@ def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Put a host array (or pytree of them) with the batch dim sharded."""
-    sh = data_sharding(mesh, axis_name)
+    """Put a host array (or pytree of them) with the batch dim sharded.
+
+    When the batch size does not divide the mesh (the reference's default
+    batch of 4 — ``train.py:33`` — on an 8-device mesh), the devices are
+    regrouped into a (gcd, rest) sub-mesh: the batch shards over ``gcd``
+    device groups and replicates within each group. Computation is exact
+    (SPMD replication, not padding) at the cost of redundant FLOPs on the
+    replica ranks — the degenerate gcd==1 case is plain full replication.
+    All leaves must share the same leading batch dimension.
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    assert leaves, "empty batch"
+    b = int(np.shape(leaves[0])[0])
+    for leaf in leaves[1:]:
+        assert int(np.shape(leaf)[0]) == b, "batch leaves disagree on leading dim"
+    n_dev = int(mesh.devices.size)
+    if b % n_dev == 0:
+        sh = data_sharding(mesh, axis_name)
+    else:
+        g = math.gcd(b, n_dev)
+        sub = Mesh(
+            mesh.devices.reshape(g, n_dev // g),
+            (axis_name, f"{axis_name}_replica"),
+        )
+        sh = NamedSharding(sub, P(axis_name))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -1,0 +1,135 @@
+"""Mesh-sharded memory bank: ring (ppermute) top-1 retrieval must return the
+same patches as the replicated MXU-matmul path, and shard_batch must handle
+batch sizes that do not divide the mesh (reference default batch 4)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from image_denoising_tpu.adapters.wrappers import select_memory_patch
+from image_denoising_tpu.memory import MemoryBank, make_ring_retrieval, shard_bank
+from image_denoising_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+def _bank(rng, n, ps=8, c=1):
+    noise = rng.random((n, ps * ps * c)).astype(np.float32)
+    clean = rng.random((n, ps, ps, c)).astype(np.float32)
+    return MemoryBank(
+        noise_flat=jnp.asarray(noise),
+        clean=jnp.asarray(clean),
+        sq_norms=jnp.sum(jnp.asarray(noise) ** 2, axis=1),
+        patch_size=ps,
+        stride=4,
+    )
+
+
+def test_ring_retrieval_matches_replicated(rng):
+    mesh = make_mesh(8)
+    bank = _bank(rng, 44)  # 44 % 8 != 0 → shard_bank pads to 48
+    queries = jnp.asarray(rng.random((16, 8, 8, 1)).astype(np.float32))
+
+    expected = select_memory_patch(queries, bank.noise_flat, bank.clean,
+                                   bank.sq_norms)
+
+    sbank = shard_bank(bank, mesh, "data")
+    assert sbank.noise_flat.shape[0] == 48
+    ring = make_ring_retrieval(mesh, "data", queries_sharded=True)
+    got = jax.jit(ring)(queries, sbank.noise_flat, sbank.clean, sbank.sq_norms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=0)
+
+
+def test_ring_retrieval_replicated_queries(rng):
+    mesh = make_mesh(8)
+    bank = _bank(rng, 24)
+    queries = jnp.asarray(rng.random((5, 8, 8, 1)).astype(np.float32))  # 5 ∤ 8
+
+    expected = select_memory_patch(queries, bank.noise_flat, bank.clean,
+                                   bank.sq_norms)
+    sbank = shard_bank(bank, mesh, "data")
+    ring = make_ring_retrieval(mesh, "data", queries_sharded=False)
+    got = jax.jit(ring)(queries, sbank.noise_flat, sbank.clean, sbank.sq_norms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=0)
+
+
+def test_ring_retrieval_tie_breaks_to_first(rng):
+    """Duplicate bank rows across different shards: global first-min wins."""
+    mesh = make_mesh(8)
+    ps = 4
+    noise = rng.random((16, ps * ps)).astype(np.float32)
+    noise[9] = noise[2]  # duplicate row 2 (shard 1) at row 9 (shard 4)
+    clean = rng.random((16, ps, ps, 1)).astype(np.float32)
+    bank = MemoryBank(
+        noise_flat=jnp.asarray(noise),
+        clean=jnp.asarray(clean),
+        sq_norms=jnp.sum(jnp.asarray(noise) ** 2, axis=1),
+        patch_size=ps,
+        stride=4,
+    )
+    queries = jnp.asarray(noise[9].reshape(1, ps, ps, 1))  # exact duplicate hit
+    sbank = shard_bank(bank, mesh, "data")
+    ring = make_ring_retrieval(mesh, "data", queries_sharded=False)
+    got = np.asarray(
+        jax.jit(ring)(queries, sbank.noise_flat, sbank.clean, sbank.sq_norms)
+    )
+    np.testing.assert_allclose(got[0], clean[2], atol=0)  # index 2, not 9
+
+
+def test_memory_wrapper_with_ring_retrieval(rng):
+    """DenoiserWithMemoryAdapter(retrieval_fn=ring) ≡ replicated wrapper."""
+    from image_denoising_tpu.adapters import DenoiserWithMemoryAdapter
+    from image_denoising_tpu.models import UNet
+
+    mesh = make_mesh(8)
+    base = UNet(in_nc=1, out_nc=1, n_feature=8)
+    bank = _bank(rng, 16, ps=32)
+    tiles = jnp.asarray(rng.random((8, 32, 32, 1)).astype(np.float32))
+
+    ref_wrapper = DenoiserWithMemoryAdapter(base=base, hidden_channels=8)
+    params = jax.jit(ref_wrapper.init)(
+        jax.random.PRNGKey(0), tiles, bank.noise_flat, bank.clean, bank.sq_norms
+    )["params"]
+    expected = ref_wrapper.apply(
+        {"params": params}, tiles, bank.noise_flat, bank.clean, bank.sq_norms
+    )
+
+    sbank = shard_bank(bank, mesh, "data")
+    ring_wrapper = DenoiserWithMemoryAdapter(
+        base=base, hidden_channels=8,
+        retrieval_fn=make_ring_retrieval(mesh, "data", queries_sharded=True),
+    )
+    got = jax.jit(
+        lambda p, t, bn, bc, bs: ring_wrapper.apply({"params": p}, t, bn, bc, bs)
+    )(replicate(mesh, params), tiles, sbank.noise_flat, sbank.clean, sbank.sq_norms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
+
+
+def test_shard_batch_non_divisible_trains(rng):
+    """Reference default batch 4 on an 8-device mesh: gcd sub-mesh replication
+    gives the exact same update as the unsharded step."""
+    from image_denoising_tpu.models import UNet
+    from image_denoising_tpu.train import create_train_state, make_structure_train_step
+
+    mesh = make_mesh(8)
+    model = UNet(in_nc=1, out_nc=1, n_feature=8)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1))
+    )["params"]
+    clean = rng.random((4, 32, 32, 1)).astype(np.float32) * 255
+    noisy = rng.random((4, 32, 32, 1)).astype(np.float32) * 255
+    step = make_structure_train_step(model.apply)
+
+    # independent param copies: the step donates its state, and device_put
+    # aliases the source cpu:0 buffer when replicating
+    params_copy = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), params)
+    s_mesh = create_train_state(replicate(mesh, params_copy), lr=1e-3)
+    s_single = create_train_state(params, lr=1e-3)
+    s_single, m_single = step(s_single, jnp.asarray(clean), jnp.asarray(noisy))
+
+    batch = shard_batch(mesh, (clean, noisy), axis_name="data")
+    s_mesh, m_mesh = step(s_mesh, *batch)
+
+    assert abs(float(m_single["loss"]) - float(m_mesh["loss"])) < 1e-6
+    a = jax.tree_util.tree_leaves(s_single.params)
+    b = jax.tree_util.tree_leaves(s_mesh.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
