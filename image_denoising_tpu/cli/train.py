@@ -133,6 +133,7 @@ def main(argv=None):
             network.apply, noise_fn=aug.add_train_noise,
             increase_ratio=opt.increase_ratio, n_epoch=opt.n_epoch,
             subsampler=opt.subsampler,
+            lambda1=opt.Lambda1, lambda2=opt.Lambda2,
         )
     opkeys = OperationSeed(opt.seed)
 
@@ -143,6 +144,10 @@ def main(argv=None):
 
     rng = np.random.default_rng(opt.seed)
     profiling = False
+    # one compiled validation forward reused across snapshot epochs — params
+    # as an ARGUMENT, not a baked closure constant (a fresh jit per epoch
+    # would recompile the full-frame program every snapshot)
+    val_fwd = jax.jit(lambda p, x: network.apply({"params": p}, x))
     for epoch in range(opt.start_epoch, opt.n_epoch + 1):
         epoch_st = time.time()
         lr = multistep_lr(opt.lr, milestones, opt.gamma, epoch)
@@ -174,10 +179,12 @@ def main(argv=None):
                     jnp.asarray(epoch, jnp.int32),
                 )
             loss = float(metrics["loss"])
-            losses.append(loss)
             # reference log format: Loss1 = plain L1(net(noisy), clean)
             # (train.py:369-373); the n2n path reports its rec term instead
             l1_part = float(metrics.get("l1", metrics.get("loss_rec", loss)))
+            # the reference's epoch mean + A_log.csv record the L1 component,
+            # not the full structure loss (train.py:365-377,434)
+            losses.append(l1_part)
             print(
                 f"{epoch:04d} {it:05d} Loss1={l1_part:.6f}, "
                 f"Loss_Full={loss:.6f}, Time={time.time() - st:.4f}"
@@ -198,7 +205,6 @@ def main(argv=None):
             validation_path = os.path.join(save_model_path, "validation")
             os.makedirs(validation_path, exist_ok=True)
 
-            fwd = jax.jit(lambda x: network.apply({"params": state.params}, x))
             for i in range(len(valid[0])):
                 clean_np, noisy_np = valid[0][i], valid[1][i]
                 clean_name = os.path.basename(valid[2][i]).split(".")[0]
@@ -206,7 +212,7 @@ def main(argv=None):
                 x = np.asarray(noisy_np, np.float32) / 255.0
                 if x.ndim == 2:
                     x = x[..., None]
-                pred = np.asarray(fwd(jnp.asarray(x)[None])[0])
+                pred = np.asarray(val_fwd(state.params, jnp.asarray(x)[None])[0])
                 pred = np.clip(pred, 0, 1).squeeze()
                 pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)
 

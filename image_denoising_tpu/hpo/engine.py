@@ -94,15 +94,18 @@ class TPESampler:
             return self._random(dist)
         obs.sort(key=lambda t: t[1])
         n_good = max(1, int(math.ceil(self.gamma * len(obs))))
-        good = np.asarray([t[0] for t in obs[:n_good]], dtype=float)
-        bad = np.asarray([t[0] for t in obs[n_good:]], dtype=float)
         if isinstance(dist, _CatDist):
-            # weighted categorical by good-set counts (+1 smoothing)
+            # weighted categorical by good-set VALUE counts (+1 smoothing);
+            # before the float casts so string choices work, and matched
+            # against the choice values so non-0..n-1 numeric choices count
+            good_vals = [t[0] for t in obs[:n_good]]
             weights = np.array(
-                [1.0 + np.sum(good == i) for i in range(len(dist.choices))]
+                [1.0 + sum(1 for v in good_vals if v == c) for c in dist.choices]
             )
             return dist.choices[int(self.rng.choice(len(dist.choices),
                                                     p=weights / weights.sum()))]
+        good = np.asarray([t[0] for t in obs[:n_good]], dtype=float)
+        bad = np.asarray([t[0] for t in obs[n_good:]], dtype=float)
 
         to_space = (lambda v: np.log(v)) if (
             isinstance(dist, _FloatDist) and dist.log) else (lambda v: v)

@@ -128,6 +128,8 @@ def make_n2n_train_step(
     increase_ratio: float = 2.0,
     n_epoch: int = 100,
     subsampler: str = "xla",
+    lambda1: float = 1.0,
+    lambda2: float = 1.0,
 ):
     """Neighbor2Neighbor self-supervised step (training_script.md:126-156).
 
@@ -148,7 +150,9 @@ def make_n2n_train_step(
         den_sub1 = generate_subimages(denoised, sel1)
         den_sub2 = generate_subimages(denoised, sel2)
         pred = apply_fn({"params": params}, sub1)
-        total, (l_rec, l_reg) = n2n_regularized_loss(pred, sub2, den_sub1, den_sub2, lam)
+        total, (l_rec, l_reg) = n2n_regularized_loss(
+            pred, sub2, den_sub1, den_sub2, lam, lambda1=lambda1, lambda2=lambda2
+        )
         return total, (l_rec, l_reg)
 
     @partial(jax.jit, donate_argnums=0)

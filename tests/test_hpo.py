@@ -137,3 +137,20 @@ def test_thread_parallel_trials(tmp_path):
     # storage consistent after concurrent writes
     study2 = create_study("par", storage=db)
     assert len(study2.trials) == 6
+
+
+def test_tpe_categorical_choices():
+    """String and non-0..n-1 numeric categoricals sample past startup
+    (regression: float cast crashed strings; index-vs-value miscounted)."""
+    from image_denoising_tpu.hpo.engine import TPESampler, _CatDist
+
+    s = TPESampler(n_startup_trials=2, seed=0)
+    hist_str = [("adam", 0.1), ("sgd", 0.9), ("adam", 0.2), ("adam", 0.15)]
+    picks = [s.sample(_CatDist(("adam", "sgd")), hist_str) for _ in range(40)]
+    assert set(picks) <= {"adam", "sgd"}
+    assert picks.count("adam") > picks.count("sgd")  # good set favors adam
+
+    hist_num = [(32, 0.1), (16, 0.9), (32, 0.2), (32, 0.15)]
+    picks = [s.sample(_CatDist((16, 32)), hist_num) for _ in range(40)]
+    assert set(picks) <= {16, 32}
+    assert picks.count(32) > picks.count(16)

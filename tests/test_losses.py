@@ -140,3 +140,13 @@ def test_n2n_loss2_stops_gradient():
 
     g2 = jax.grad(f_pred_only)(jnp.ones((1, 4, 4, 1)) * 0.2)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-6)
+
+
+def test_n2n_lambda_weights(rng):
+    a = jnp.asarray(rng.random((1, 8, 8, 1), dtype=np.float32))
+    b = jnp.asarray(rng.random((1, 8, 8, 1), dtype=np.float32))
+    c = jnp.asarray(rng.random((1, 8, 8, 1), dtype=np.float32))
+    d = jnp.asarray(rng.random((1, 8, 8, 1), dtype=np.float32))
+    total, (l1v, l2v) = n2n_regularized_loss(a, b, c, d, 1.5,
+                                             lambda1=0.3, lambda2=2.0)
+    assert abs(float(total) - (0.3 * float(l1v) + 2.0 * float(l2v))) < 1e-6
