@@ -42,6 +42,7 @@ __all__ = [
     "save_png",
     "MetricsWriter",
     "jitted_apply",
+    "batched_frame_forward",
 ]
 
 
@@ -93,6 +94,55 @@ def jitted_apply(model, params):
         return model.apply({"params": params}, x)
 
     return fwd
+
+
+def batched_frame_forward(fwd, params, frames, parallel: bool = False):
+    """Whole-frame inference over a list of [H,W,C] float01 frames.
+
+    ``fwd(params, batch)`` is the jitted batched forward. ``parallel=True``
+    is the --parallel wiring the reference implements with nn.DataParallel
+    (evaluation_adapter.py:114-115): frames of identical shape are grouped
+    into device-count batches sharded over the mesh (params replicated);
+    ragged tails are padded by repeating the last frame and cropped after.
+    Sequential (parallel=False) runs batch-1 frames like the reference's
+    single-GPU path. Returns per-frame [H,W,C] float32 predictions in input
+    order.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mesh = None
+    group = 1
+    if parallel:
+        from ..parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        group = int(mesh.devices.size)
+        params = replicate(mesh, params)
+        print(f"frame-parallel inference over {group} devices")
+
+    by_shape: dict = {}
+    for i, f in enumerate(frames):
+        by_shape.setdefault(np.shape(f), []).append(i)
+
+    preds = [None] * len(frames)
+    for _, idxs in sorted(by_shape.items()):
+        for s in range(0, len(idxs), group):
+            chunk = idxs[s : s + group]
+            batch = np.stack([np.asarray(frames[i], np.float32) for i in chunk])
+            n_real = batch.shape[0]
+            if mesh is not None:
+                if n_real < group:  # pad tail by repeating the last frame
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], group - n_real, axis=0)]
+                    )
+                batch = shard_batch(mesh, batch)
+            else:
+                batch = jnp.asarray(batch)
+            out = np.asarray(fwd(params, batch))[:n_real]
+            for j, i in enumerate(chunk):
+                preds[i] = out[j]
+    return preds
 
 
 def save_png(arr: np.ndarray, path: str, mode: str = "RGB") -> None:

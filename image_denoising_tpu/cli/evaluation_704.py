@@ -23,6 +23,9 @@ def parse_args(argv=None):
     parser.add_argument("--log_name", type=str, default="UNetImproved")
     parser.add_argument("--arch", type=str, default=None)
     parser.add_argument("--gpu_devices", default="0", type=str)
+    parser.add_argument("--parallel", action="store_true",
+                        help="shard the tile batch over all devices in the "
+                             "mesh (the reference's DataParallel analog)")
     parser.add_argument("--tile", type=int, default=352)
     parser.add_argument("--overlap", type=int, default=64)
     parser.add_argument("--tile_batch", type=int, default=-1,
@@ -50,6 +53,18 @@ def evaluate(opt):
     fwd = jitted_apply(network, params)
     print(f"Loaded checkpoint from {opt.checkpoint}")
 
+    mesh = None
+    tile_batch = opt.tile_batch
+    if opt.parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        if tile_batch == -1:
+            # a lax.map tile scan is sequential; mesh sharding needs the
+            # whole tile batch in one forward
+            tile_batch = 0
+        print(f"tile-parallel over {mesh.devices.size} devices")
+
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
         clean_name = os.path.basename(clean_paths[i]).split(".")[0]
@@ -61,7 +76,7 @@ def evaluate(opt):
         # uint8 quantization (reference: clip(p·255), NO +0.5) fused on device
         pred255, l1_val = denoise_tiled_pyramid(
             fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
-            batch=opt.tile_batch, out_dtype="uint8_floor",
+            batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
         )
 
         save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)

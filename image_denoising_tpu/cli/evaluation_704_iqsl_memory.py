@@ -42,6 +42,11 @@ def parse_args(argv=None):
     parser.add_argument("--pallas_retrieval", action="store_true",
                         help="stream the bank through VMEM (Pallas kernel) "
                              "instead of materializing the [B,N] distance matrix")
+    parser.add_argument("--bank_sharded", action="store_true",
+                        help="shard BOTH banks over the device mesh and "
+                             "retrieve with the ring (ppermute) kernel — "
+                             "per-chip bank HBM drops to 1/k; implies "
+                             "--parallel")
     parser.add_argument("--bank_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--tile_batch", type=int, default=-1,
@@ -77,11 +82,31 @@ def main(argv=None):
         pad_to=512 if opt.pallas_retrieval else 0,
     )
 
+    mesh = None
+    retrieval_fn = None
+    tile_batch = opt.tile_batch
+    if opt.parallel or opt.bank_sharded:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        if tile_batch == -1:
+            tile_batch = 0  # sharding needs the whole tile batch in one forward
+        print(f"tile-parallel over {mesh.devices.size} devices")
+    if opt.bank_sharded:
+        from ..memory import make_ring_retrieval, shard_bank
+
+        bank = shard_bank(bank, mesh, "data")
+        retrieval_fn = make_ring_retrieval(mesh, "data", queries_sharded=True)
+        print(f"memory bank sharded over {mesh.devices.size} devices "
+              f"(~{bank.noise_flat.nbytes // mesh.devices.size / 1e6:.1f} MB "
+              f"noise bank per device)")
+
     base = build_model(opt.arch, opt.n_channel, opt.n_feature)
     wrapper = DenoiserWithMemoryAdapter(
         base=base, in_channels=opt.n_channel,
         hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,
         pallas_retrieval=opt.pallas_retrieval,
+        retrieval_fn=retrieval_fn,
     )
     base_params = load_checkpoint(opt.base_ckpt, arch=opt.arch)
     adapter_params = load_checkpoint(opt.adapter_ckpt, arch=opt.adapter_variant)
@@ -101,9 +126,9 @@ def main(argv=None):
         # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
         pred255 = denoise_tiled_hann(
             model_call, np.asarray(noisy), ps=opt.patch_size,
-            overlap=opt.overlap, batch=opt.tile_batch,
+            overlap=opt.overlap, batch=tile_batch,
             extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
-            out_dtype="uint8_round",
+            out_dtype="uint8_round", mesh=mesh,
         ).squeeze(-1)
 
         save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),

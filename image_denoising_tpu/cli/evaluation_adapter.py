@@ -59,7 +59,7 @@ def main(argv=None):
     from ..data.pairs import load_image_f32
     from ..metrics import calculate_psnr
     from ..models.registry import build_model
-    from .common import save_png
+    from .common import batched_frame_forward, save_png
 
     noise_dir = os.path.join(opt.data_dir, "noise")
     clean_dir = os.path.join(opt.data_dir, "clean")
@@ -82,17 +82,20 @@ def main(argv=None):
     print(f"Loaded adapter+base weights from {opt.ckpt}")
 
     @jax.jit
-    def fwd(x):
-        return wrapper.apply({"params": params}, x)
+    def fwd(p, x):
+        return wrapper.apply({"params": p}, x)
+
+    frames = []
+    for n_path in noise_paths:
+        x = load_image_f32(n_path) / 255.0
+        frames.append(x[..., None] if x.ndim == 2 else x)
+    preds = batched_frame_forward(fwd, params, frames,
+                                  parallel=opt.parallel)
 
     psnrs = []
     for idx, n_path in enumerate(noise_paths):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
-        noisy_img = load_image_f32(n_path)
-        x = noisy_img / 255.0
-        if x.ndim == 2:
-            x = x[..., None]
-        pred = np.asarray(fwd(jnp.asarray(x, jnp.float32)[None])[0])
+        pred = preds[idx]
         pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)
         vis = pred255.squeeze(-1) if pred255.shape[-1] == 1 else pred255
         save_path = os.path.join(opt.save_dir, f"{base_name}_denoised.png")

@@ -46,7 +46,7 @@ def main(argv=None):
     from ..data.pairs import load_image_f32
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
     from ..models.registry import build_model
-    from .common import MetricsWriter, save_png
+    from .common import MetricsWriter, batched_frame_forward, save_png
 
     os.makedirs(opt.save_dir, exist_ok=True)
     noise_paths = sorted(glob.glob(os.path.join(opt.data_dir, "noise", "*")))
@@ -65,18 +65,19 @@ def main(argv=None):
     print(f"Loaded base from {opt.base_ckpt}; adapter from {opt.adapter_ckpt}")
 
     @jax.jit
-    def fwd(x):
-        return wrapper.apply({"params": params}, x)
+    def fwd(p, x):
+        return wrapper.apply({"params": p}, x)
+
+    frames = []
+    for n_path in noise_paths:
+        x = load_image_f32(n_path) / 255.0
+        frames.append(x[..., None] if x.ndim == 2 else x)
+    preds = batched_frame_forward(fwd, params, frames, parallel=opt.parallel)
 
     writer = MetricsWriter()
     for idx, n_path in enumerate(noise_paths):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
-        noisy_img = load_image_f32(n_path)
-        x = noisy_img / 255.0
-        if x.ndim == 2:
-            x = x[..., None]
-        pred = np.asarray(fwd(jnp.asarray(x, jnp.float32)[None])[0])
-        pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze()
+        pred255 = np.clip(preds[idx] * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze()
         save_png(pred255, os.path.join(opt.save_dir, f"{base_name}_denoised.png"),
                  mode="L" if pred255.ndim == 2 else "RGB")
 

@@ -320,22 +320,26 @@ def denoise_tiled_pyramid(
     batch: int = 0,
     extra=(),
     out_dtype: str = "float32",
+    mesh=None,
 ):
     """Tiled-352 pyramid-blend full-frame denoise (evaluation_704.py engine).
 
     noisy255: [H,W] uint8/float in [0,255]. Returns (pred [H,W] — float32 in
     [0,1] or uint8 per ``out_dtype``, mean per-tile L1(pred, padded_input)).
     Jitted programs are cached per (model, geometry); pass changing values
-    (params, banks) via ``extra``.
+    (params, banks) via ``extra``. ``mesh`` shards the tile batch over the
+    device mesh (--parallel in the eval CLIs; ref wiring
+    evaluation_adapter.py:114-115) — use with batch=0 (a lax.map tile scan
+    is sequential and gains nothing from sharding).
     """
     noisy = np.asarray(noisy255)
     assert noisy.ndim == 2, "tiled pyramid eval is single-channel"
     h, w = noisy.shape
-    key = ("pyr", id(model_call), h, w, ps, overlap, batch, out_dtype)
+    key = ("pyr", id(model_call), h, w, ps, overlap, batch, out_dtype, id(mesh))
     run = _RUNNER_CACHE.get(key)
     if run is None:
         run = _RUNNER_CACHE[key] = make_tiled_pyramid_runner(
-            model_call, h, w, ps, overlap, batch, out_dtype=out_dtype
+            model_call, h, w, ps, overlap, batch, mesh=mesh, out_dtype=out_dtype
         )
     out, l1 = run(jnp.asarray(noisy), *extra)
     return np.asarray(out), float(l1)
@@ -395,21 +399,24 @@ def denoise_tiled_hann(
     batch: int = 0,
     extra=(),
     out_dtype: str = "float32",
+    mesh=None,
 ):
     """Hann²-blended patchwise denoise (denoise_full_image_patchwise engine).
 
     noisy255: [H,W] (or [H,W,1]) in [0,255]. Returns pred01 [H,W,1] float32 —
     the reference returns (H,W,1) in [0,1]. Jitted programs cached per
     (model, geometry); pass changing values (params, banks) via ``extra``.
+    ``mesh`` shards the tile batch over the device mesh (--parallel; use
+    with batch=0).
     """
     noisy = np.asarray(noisy255)
     if noisy.ndim == 3 and noisy.shape[2] == 1:
         noisy = noisy[..., 0]
     h, w = noisy.shape
-    key = ("hann", id(model_call), h, w, ps, overlap, batch, out_dtype)
+    key = ("hann", id(model_call), h, w, ps, overlap, batch, out_dtype, id(mesh))
     run = _RUNNER_CACHE.get(key)
     if run is None:
         run = _RUNNER_CACHE[key] = make_tiled_hann_runner(
-            model_call, h, w, ps, overlap, batch, out_dtype=out_dtype
+            model_call, h, w, ps, overlap, batch, mesh=mesh, out_dtype=out_dtype
         )
     return np.asarray(run(jnp.asarray(noisy), *extra))[..., None]
