@@ -30,6 +30,7 @@ def test_checkpoint_meta(tmp_path):
     assert meta["arch"] == "UNetImproved"
 
 
+@pytest.mark.slow
 def test_full_train_state_resume(tmp_path):
     """Optimizer moments must survive a save/restore round trip exactly."""
     from image_denoising_tpu.models import UNet

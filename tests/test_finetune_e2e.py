@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # multi-minute e2e tier
+
 @pytest.fixture(scope="module")
 def fixture_dataset(tmp_path_factory):
     from PIL import Image

@@ -35,6 +35,7 @@ def test_resnet_shapes_and_residual():
     assert float(jnp.abs(y - x).max()) < 1.0
 
 
+@pytest.mark.slow
 def test_improved_unet_shapes_and_sigmoid_range():
     model = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16)
     x = jnp.linspace(0, 1, 1 * 32 * 32).reshape(1, 32, 32, 1)
@@ -68,6 +69,7 @@ def test_unet_jit_compiles():
     assert y.shape == x.shape
 
 
+@pytest.mark.slow
 def test_improved_unet_remat_equivalence(rng):
     """remat=True must not change outputs, grads, or param naming."""
     import numpy as np

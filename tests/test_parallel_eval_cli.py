@@ -9,6 +9,8 @@ import pytest
 import jax
 
 
+pytestmark = pytest.mark.slow  # multi-minute e2e tier
+
 @pytest.fixture(scope="module")
 def fixture_dataset(tmp_path_factory):
     from PIL import Image

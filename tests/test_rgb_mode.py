@@ -31,6 +31,7 @@ def rgb_dataset(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_rgb_train_and_whole_frame_eval(rgb_dataset, tmp_path):
     from image_denoising_tpu.cli import evaluation as eval_cli
     from image_denoising_tpu.cli import train as train_cli
@@ -77,6 +78,7 @@ def test_rgb_n2n_subsampler_and_losses(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_rgb_adapter_finetune(rgb_dataset, tmp_path):
     import glob
 

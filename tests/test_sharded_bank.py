@@ -2,6 +2,7 @@
 same patches as the replicated MXU-matmul path, and shard_batch must handle
 batch sizes that do not divide the mesh (reference default batch 4)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,7 @@ def test_ring_retrieval_tie_breaks_to_first(rng):
     np.testing.assert_allclose(got[0], clean[2], atol=0)  # index 2, not 9
 
 
+@pytest.mark.slow
 def test_memory_wrapper_with_ring_retrieval(rng):
     """DenoiserWithMemoryAdapter(retrieval_fn=ring) ≡ replicated wrapper."""
     from image_denoising_tpu.adapters import DenoiserWithMemoryAdapter
@@ -103,6 +105,7 @@ def test_memory_wrapper_with_ring_retrieval(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_batch_non_divisible_trains(rng):
     """Reference default batch 4 on an 8-device mesh: gcd sub-mesh replication
     gives the exact same update as the unsharded step."""

@@ -112,6 +112,7 @@ def test_set_learning_rate(tiny_setup):
     assert abs(float(state.opt_state.hyperparams["learning_rate"]) - 1e-5) < 1e-12
 
 
+@pytest.mark.slow
 def test_dp_sharded_step_matches_single_device(rng):
     """Same batch, 8-way data-parallel vs single device → same params."""
     from image_denoising_tpu.parallel import make_mesh, replicate, shard_batch
