@@ -272,13 +272,16 @@ def make_tiled_pyramid_runner(
 
 def make_tiled_pyramid_runner_frames(
     model_call: Callable, n_frames: int, h: int, w: int, ps: int = 352,
-    overlap: int = 64, batch: int = 0,
+    overlap: int = 64, batch: int = 0, out_dtype: str = "float32",
 ):
-    """Frame-batched variant: [F,H,W] float255 → ([F,H,W] pred01, [F] L1).
+    """Frame-batched variant: [F,H,W] float255 → ([F,H,W] pred, [F] L1).
 
     All F·T tiles run as one forward and the blends vmap over frames — one
     device dispatch for a whole burst of frames, amortizing launch/transfer
-    latency (the serving-pipeline shape; see bench.py).
+    latency (the serving-pipeline shape; see bench.py). ``batch=-1`` runs the
+    F·T tile stack as a lax.map scan (network body compiled ONCE — the
+    compile-time fix that makes burst programs viable on slow-compile
+    backends). ``out_dtype`` as in make_tiled_pyramid_runner.
     """
     stride = ps - overlap
     grid = reference_tile_grid(h, w, ps, stride)
@@ -307,7 +310,7 @@ def make_tiled_pyramid_runner_frames(
         blend = lambda p: _blend_pyramid(p, r0s, c0s, ths, tws, mask,
                                          h=h, w=w, ps=ps)
         out = jax.vmap(blend)(preds)
-        return out, l1
+        return _quantize(out, out_dtype), l1
 
     return run
 
