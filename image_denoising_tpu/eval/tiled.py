@@ -24,7 +24,6 @@ overlap+1 px; we mirror-extend cyclically in that regime instead of crashing
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -124,14 +123,25 @@ def _chunked_forward(model_call, tiles, batch: int, extra=()):
     ``extra`` is threaded through to model_call (e.g. params, memory banks) so
     they stay runtime arguments instead of baked compile-time constants.
 
-    batch == -1 selects ``lax.map`` over tiles: the network body is compiled
-    ONCE and looped — a large compile-time win on slow-compile backends for a
-    small throughput cost (each 352² tile still saturates the MXU)."""
+    batch == -k (k ≥ 1) selects ``lax.map`` over chunks of k tiles: the
+    network body is compiled ONCE at batch k and looped — a large compile-time
+    win on slow-compile backends (the body program is independent of the tile
+    count). k = 1 scans tile-by-tile; larger k trades VMEM for per-iteration
+    launch overhead. The tile stack is zero-padded to a multiple of k and
+    cropped after."""
     t = tiles.shape[0]
-    if batch == -1:
-        return jax.lax.map(
-            lambda tile: model_call(tile[None], *extra)[0], tiles
-        )
+    if batch <= -1:
+        k = -batch
+        if k >= t:
+            return model_call(tiles, *extra)
+        pad = (-t) % k
+        if pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad,) + tiles.shape[1:], tiles.dtype)]
+            )
+        chunks = tiles.reshape(tiles.shape[0] // k, k, *tiles.shape[1:])
+        out = jax.lax.map(lambda c: model_call(c, *extra), chunks)
+        return out.reshape(out.shape[0] * k, *out.shape[2:])[:t]
     if batch <= 0 or batch >= t:
         return model_call(tiles, *extra)
     outs = []
@@ -159,35 +169,33 @@ def denoise_whole_frame(model_call, noisy01: np.ndarray):
     return np.asarray(jnp.clip(pred, 0.0, 1.0))
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "ps"))
-def _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h: int, w: int, ps: int):
-    """Scatter-add pred·mask into an (h, w) canvas with per-tile valid crops.
+def _make_pyramid_blender(grid, mask_np: np.ndarray, h: int, w: int):
+    """Build preds[T,ps,ps] → [h,w] pyramid blend for a STATIC tile grid.
 
-    preds: [T,ps,ps]; r0s/c0s/ths/tws: [T] int32 tile geometry.
+    The tile grid is static per frame geometry, so the blend unrolls into T
+    pad-and-add ops with static offsets — XLA fuses these into a handful of
+    kernels, where a scatter-add fori_loop serializes (measured ~14 ms/frame
+    of pure scatter on v5e; this form is ~µs). The contribution map is
+    input-independent: precomputed host-side and baked as a constant
+    reciprocal (multiply beats divide on the VPU).
     """
-    canvas = jnp.zeros((h, w), jnp.float32)
-    contrib = jnp.zeros((h, w), jnp.float32)
+    wms = []
+    contrib = np.zeros((h, w), np.float64)
+    for (r0, c0, th, tw) in grid:
+        wm = mask_np[:th, :tw].astype(np.float32)
+        wms.append(jnp.asarray(wm))
+        contrib[r0 : r0 + th, c0 : c0 + tw] += wm
+    contrib[contrib == 0] = 1.0
+    inv_contrib = jnp.asarray(1.0 / contrib, jnp.float32)
 
-    yy = jnp.arange(ps)
-    xx = jnp.arange(ps)
+    def blend(preds):
+        canvas = jnp.zeros((h, w), jnp.float32)
+        for i, (r0, c0, th, tw) in enumerate(grid):
+            p = jnp.clip(preds[i, :th, :tw].astype(jnp.float32), 0.0, 1.0)
+            canvas += jnp.pad(p * wms[i], ((r0, h - r0 - th), (c0, w - c0 - tw)))
+        return canvas * inv_contrib
 
-    def body(i, carry):
-        canvas, contrib = carry
-        p = jnp.clip(preds[i], 0.0, 1.0)
-        th, tw = ths[i], tws[i]
-        valid = (yy[:, None] < th) & (xx[None, :] < tw)
-        wm = jnp.where(valid, mask, 0.0)
-        rows = r0s[i] + yy
-        cols = c0s[i] + xx
-        rows = jnp.clip(rows, 0, h - 1)
-        cols = jnp.clip(cols, 0, w - 1)
-        canvas = canvas.at[rows[:, None], cols[None, :]].add(p * wm)
-        contrib = contrib.at[rows[:, None], cols[None, :]].add(wm)
-        return canvas, contrib
-
-    canvas, contrib = jax.lax.fori_loop(0, preds.shape[0], body, (canvas, contrib))
-    contrib = jnp.where(contrib == 0, 1.0, contrib)
-    return canvas / contrib
+    return blend
 
 
 def _tile_sharding(mesh):
@@ -247,11 +255,7 @@ def make_tiled_pyramid_runner(
     col_idx = jnp.asarray(
         np.stack([_reflect_indices(c0, tw, ps) for (_, c0, _, tw) in grid])
     )
-    mask = jnp.asarray(pyramid_weight_mask(ps))
-    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
-    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
-    ths = jnp.asarray([g[2] for g in grid], jnp.int32)
-    tws = jnp.asarray([g[3] for g in grid], jnp.int32)
+    blend = _make_pyramid_blender(grid, pyramid_weight_mask(ps), h, w)
 
     @jax.jit
     def run(noisy255, *extra):
@@ -264,7 +268,7 @@ def make_tiled_pyramid_runner(
         preds = preds[:n_tiles]
         tiles = tiles[:n_tiles]
         l1 = jnp.mean(jnp.abs(preds - tiles[..., 0]), axis=(1, 2)).mean()
-        out = _blend_pyramid(preds, r0s, c0s, ths, tws, mask, h=h, w=w, ps=ps)
+        out = blend(preds)
         return _quantize(out, out_dtype), l1
 
     return run
@@ -291,11 +295,7 @@ def make_tiled_pyramid_runner_frames(
     col_idx = jnp.asarray(
         np.stack([_reflect_indices(c0, tw, ps) for (_, c0, _, tw) in grid])
     )
-    mask = jnp.asarray(pyramid_weight_mask(ps))
-    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
-    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
-    ths = jnp.asarray([g[2] for g in grid], jnp.int32)
-    tws = jnp.asarray([g[3] for g in grid], jnp.int32)
+    blend = _make_pyramid_blender(grid, pyramid_weight_mask(ps), h, w)
     t = len(grid)
 
     @jax.jit
@@ -307,8 +307,6 @@ def make_tiled_pyramid_runner_frames(
         preds = preds.reshape(n_frames, t, ps, ps)
         tiles = tiles.reshape(n_frames, t, ps, ps)
         l1 = jnp.mean(jnp.abs(preds - tiles), axis=(2, 3)).mean(axis=1)
-        blend = lambda p: _blend_pyramid(p, r0s, c0s, ths, tws, mask,
-                                         h=h, w=w, ps=ps)
         out = jax.vmap(blend)(preds)
         return _quantize(out, out_dtype), l1
 
@@ -348,23 +346,26 @@ def denoise_tiled_pyramid(
     return np.asarray(out), float(l1)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "ps"))
-def _blend_hann(preds, r0s, c0s, window, h: int, w: int, ps: int):
-    out = jnp.zeros((h, w), jnp.float32)
-    wsum = jnp.zeros((h, w), jnp.float32)
-    yy = jnp.arange(ps)
-    xx = jnp.arange(ps)
+def _make_hann_blender(grid, window_np: np.ndarray, h: int, w: int, ps: int):
+    """Build preds[T,ps,ps] → [h,w] Hann² blend for a STATIC tile grid.
 
-    def body(i, carry):
-        out, wsum = carry
-        rows = r0s[i] + yy
-        cols = c0s[i] + xx
-        out = out.at[rows[:, None], cols[None, :]].add(preds[i] * window)
-        wsum = wsum.at[rows[:, None], cols[None, :]].add(window)
-        return out, wsum
+    Same unrolled pad-and-add form as _make_pyramid_blender; the Hann weight
+    sum is input-independent and baked as a constant reciprocal (with the
+    reference's +1e-8 guard, evaluation_704_iqsl_memory.py:1064)."""
+    window = jnp.asarray(window_np.astype(np.float32))
+    wsum = np.zeros((h, w), np.float64)
+    for (r0, c0) in grid:
+        wsum[r0 : r0 + ps, c0 : c0 + ps] += window_np
+    inv_wsum = jnp.asarray(1.0 / (wsum + 1e-8), jnp.float32)
 
-    out, wsum = jax.lax.fori_loop(0, preds.shape[0], body, (out, wsum))
-    return out / (wsum + 1e-8)
+    def blend(preds):
+        canvas = jnp.zeros((h, w), jnp.float32)
+        for i, (r0, c0) in enumerate(grid):
+            p = preds[i].astype(jnp.float32) * window
+            canvas += jnp.pad(p, ((r0, h - r0 - ps), (c0, w - c0 - ps)))
+        return canvas * inv_wsum
+
+    return blend
 
 
 def make_tiled_hann_runner(
@@ -375,7 +376,7 @@ def make_tiled_hann_runner(
     grid = edge_aligned_grid(h, w, ps, overlap)
     r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
     c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
-    window = jnp.asarray(hann_window_2d(ps))
+    blend = _make_hann_blender(grid, hann_window_2d(ps), h, w, ps)
 
     @jax.jit
     def run(noisy255, *extra):
@@ -388,7 +389,7 @@ def make_tiled_hann_runner(
             tiles, n_tiles = _shard_tiles(tiles, mesh)
         preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
         preds = preds[:n_tiles]
-        out = _blend_hann(preds, r0s, c0s, window, h=h, w=w, ps=ps)
+        out = blend(preds)
         return _quantize(out, out_dtype)
 
     return run
