@@ -43,7 +43,29 @@ __all__ = [
     "MetricsWriter",
     "jitted_apply",
     "batched_frame_forward",
+    "add_dtype_flag",
+    "resolve_dtype",
 ]
+
+
+def add_dtype_flag(parser) -> None:
+    """--dtype: compute dtype for the model (params always stay float32)."""
+    parser.add_argument(
+        "--dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="compute dtype: bfloat16 engages the MXU's native precision "
+             "(+20-40%% throughput; agrees with float32 within 49 dB / "
+             "<=4 uint8 levels — see docs/PERF.md). Params stay float32.",
+    )
+
+
+def resolve_dtype(name: Optional[str]):
+    """'bfloat16' → jnp.bfloat16; 'float32'/None → None (f32 compute)."""
+    if name == "bfloat16":
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return None
 
 
 def build_network(

@@ -36,6 +36,9 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     return parser.parse_args(argv)
 
 
@@ -43,12 +46,14 @@ def evaluate(opt):
     from ..data import validation_denoise
     from ..eval import denoise_tiled_pyramid
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
-    from .common import MetricsWriter, build_network, jitted_apply, load_params, save_png
+    from .common import (MetricsWriter, build_network, jitted_apply,
+                         load_params, resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
 
-    network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature)
+    network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature,
+                            dtype=resolve_dtype(getattr(opt, "dtype", None)))
     params = load_params(opt.checkpoint, network)
     fwd = jitted_apply(network, params)
     print(f"Loaded checkpoint from {opt.checkpoint}")

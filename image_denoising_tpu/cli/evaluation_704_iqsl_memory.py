@@ -54,6 +54,9 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -101,7 +104,10 @@ def main(argv=None):
               f"(~{bank.noise_flat.nbytes // mesh.devices.size / 1e6:.1f} MB "
               f"noise bank per device)")
 
-    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    from .common import resolve_dtype
+
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature,
+                       dtype=resolve_dtype(getattr(opt, "dtype", None)))
     wrapper = DenoiserWithMemoryAdapter(
         base=base, in_channels=opt.n_channel,
         hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,

@@ -26,6 +26,9 @@ def parse_args(argv=None):
     parser.add_argument("--n_feature", type=int, default=48)
     parser.add_argument("--n_channel", type=int, default=1)
     parser.add_argument("--adapter_hidden", type=int, default=16)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -59,7 +62,7 @@ def main(argv=None):
     from ..data.pairs import load_image_f32
     from ..metrics import calculate_psnr
     from ..models.registry import build_model
-    from .common import batched_frame_forward, save_png
+    from .common import batched_frame_forward, resolve_dtype, save_png
 
     noise_dir = os.path.join(opt.data_dir, "noise")
     clean_dir = os.path.join(opt.data_dir, "clean")
@@ -74,7 +77,8 @@ def main(argv=None):
         print("[Warning] clean/ and noise/ have different counts; PSNR may be misaligned.")
     print(f"Found {len(noise_paths)} noisy images for inference.")
 
-    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature,
+                       dtype=resolve_dtype(getattr(opt, "dtype", None)))
     wrapper = DenoiserWithAdapter(
         base=base, in_channels=opt.n_channel, hidden_channels=opt.adapter_hidden
     )

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -46,7 +49,8 @@ def main(argv=None):
     from ..data.pairs import load_image_f32
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
     from ..models.registry import build_model
-    from .common import MetricsWriter, batched_frame_forward, save_png
+    from .common import (MetricsWriter, batched_frame_forward, resolve_dtype,
+                         save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     noise_paths = sorted(glob.glob(os.path.join(opt.data_dir, "noise", "*")))
@@ -55,7 +59,8 @@ def main(argv=None):
         raise RuntimeError(f"No files under {opt.data_dir}/noise")
     has_clean = len(clean_paths) > 0
 
-    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature,
+                       dtype=resolve_dtype(getattr(opt, "dtype", None)))
     wrapper = DenoiserWithAdapter(
         base=base, in_channels=opt.n_channel, hidden_channels=opt.adapter_hidden
     )

@@ -39,6 +39,9 @@ def parse_args(argv=None):
     parser.add_argument("--patch_size", type=int, default=128)
     parser.add_argument("--patches_per_image", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -65,7 +68,10 @@ def main(argv=None):
     )
     valid = validation_denoise(opt.data_dir)
 
-    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    from .common import resolve_dtype
+
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature,
+                       dtype=resolve_dtype(getattr(opt, "dtype", None)))
     base_params = load_checkpoint(opt.pretrained_ckpt, arch=opt.arch)
     print(f"Loaded base weights from {opt.pretrained_ckpt}")
 

@@ -45,6 +45,9 @@ def parse_args(argv=None):
     parser.add_argument("--iqsl_max_images", type=int, default=50)
     parser.add_argument("--iqsl_ce_factor", type=float, default=0.5)
     parser.add_argument("--seed", type=int, default=0)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -82,7 +85,10 @@ def main(argv=None):
         t1 = t2 = 0.0
         print("[IQSL] lambda_iqsl=0 → IQSL disabled.")
 
-    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    from .common import resolve_dtype
+
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature,
+                       dtype=resolve_dtype(getattr(opt, "dtype", None)))
     base_params = load_checkpoint(opt.pretrained_ckpt, arch=opt.arch)
     print(f"Loaded base weights from {opt.pretrained_ckpt}")
 

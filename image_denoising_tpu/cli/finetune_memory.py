@@ -58,6 +58,9 @@ def parse_args(argv=None):
                         choices=["float32", "bfloat16"],
                         help="noise-bank storage dtype (bf16 halves HBM)")
     parser.add_argument("--seed", type=int, default=0)
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -106,7 +109,10 @@ def main(argv=None):
         pad_to=512 if opt.pallas_retrieval else 0,
     )
 
-    base = build_model(opt.arch, opt.n_channel, opt.n_feature)
+    from .common import resolve_dtype
+
+    base = build_model(opt.arch, opt.n_channel, opt.n_feature,
+                       dtype=resolve_dtype(getattr(opt, "dtype", None)))
     base_params = load_checkpoint(opt.pretrained_ckpt, arch=opt.arch)
     print(f"Loaded base weights from {opt.pretrained_ckpt}")
 

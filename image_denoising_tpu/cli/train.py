@@ -66,6 +66,9 @@ def parse_args(argv=None):
                         help="N2N mask-pair source: xla (reproducible "
                              "counter-keys, any backend) or pallas (fused "
                              "on-core PRNG kernel, TPU only)")
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser)
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="rematerialize RDB/Res/Up blocks during backward "
@@ -96,13 +99,14 @@ def main(argv=None):
         reference_milestones,
         set_learning_rate,
     )
-    from .common import build_network, save_png
+    from .common import build_network, resolve_dtype, save_png
 
     dataset = DenoiseDataset(opt.data_dir)
     valid = validation_denoise(opt.data_dir)
 
     network = build_network(opt.arch, opt.log_name, opt.n_channel,
-                            opt.n_feature, remat=opt.remat)
+                            opt.n_feature, dtype=resolve_dtype(opt.dtype),
+                            remat=opt.remat)
 
     # infer frame geometry from the first pair for init
     c0, n0 = dataset.get(0)
