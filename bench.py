@@ -8,12 +8,15 @@ Workloads (the reference's production geometries):
 * value — END-TO-END inference throughput: ImprovedUNet(n_feature=48,
   grayscale) denoising 704×704 uint8 frames via 352-px tiles, 64-px overlap,
   pyramid blending (evaluation_704 semantics), frames shipped host→device and
-  denoised uint8 frames shipped back, in bursts of 4 frames per dispatch.
+  denoised uint8 frames shipped back, in bursts of 8 frames per dispatch.
+  The 72-tile stack runs as a lax.map over chunks of 8 tiles — batch 8
+  exactly fills the sublane dim, so XLA skips its space-to-batch conv
+  rewrite and the per-conv halo traffic disappears (docs/PERF.md §5).
   Compute in bf16 (agrees with f32 within 49 dB / ≤4 uint8 levels — far
-  inside the 0.05 dB acceptance bar; docs/STATUS.md).
-* device_mps — same program with pre-staged device inputs and only a
-  per-frame checksum fetched: the device-compute ceiling. The gap between
-  value and device_mps is tunnel transfer/latency, not framework overhead.
+  inside the 0.05 dB acceptance bar).
+* device_mps — the same compiled program with pre-staged device inputs:
+  the device-compute ceiling. The gap between value and device_mps is
+  tunnel transfer/latency, not framework overhead.
 * mfu_pct — device FLOP/s vs the chip's bf16 peak, from the XLA cost
   analysis of the forward (169.1 GFLOP per 352² tile, 9 tiles/frame).
 * train_s_per_step — A-domain train step (train.py:354-368 workload):
@@ -40,7 +43,8 @@ sys.path.insert(0, REPO)
 
 H = W = 704
 PS, OVERLAP = 352, 64
-BURST = 4
+BURST = 8       # 72 tiles = 9 chunks of 8 — zero tile padding
+TILE_CHUNK = -8  # lax.map over 8-tile chunks (sublane-filling batch)
 # XLA cost analysis of ImprovedUNet-48 at [1,352,352,1] f32 (fwd.lower().
 # compile().cost_analysis()["flops"]; regenerate with
 # scripts/bench_experiments.py). The pyramid grid runs 9 such tiles per frame.
@@ -82,18 +86,14 @@ def main():
     def fwd(tiles):
         return model.apply({"params": params}, tiles)
 
-    # batch=-1: lax.map tile scan — compiles the network body once AND
-    # measures faster than tile-batched bodies (better VMEM locality; see
-    # scripts/bench_experiments3.py chunk sweep). uint8 in/out: quantization
-    # fused on device, 4x smaller transfers.
+    # batch=-8: lax.map over 8-tile chunks — the network body compiles once
+    # (slow-compile-backend requirement) at the sublane-filling batch size
+    # (see scripts/bench_experiments3.py chunk sweep: 8.5 MP/s vs 6.3 at
+    # chunk 1, 3.9-4.5 at chunks 3/4/9). uint8 in/out: quantization fused on
+    # device, 4x smaller transfers.
     run = make_tiled_pyramid_runner_frames(
-        fwd, BURST, H, W, PS, OVERLAP, batch=-1, out_dtype="uint8_floor"
+        fwd, BURST, H, W, PS, OVERLAP, batch=TILE_CHUNK, out_dtype="uint8_floor"
     )
-
-    @jax.jit
-    def checksum(frames255):
-        pred, _ = run(frames255)
-        return jnp.sum(pred.astype(jnp.int32), axis=(1, 2))
 
     rng = np.random.default_rng(0)
     n_bursts = 3
@@ -102,7 +102,6 @@ def main():
 
     # warmup / compile
     np.asarray(run(jnp.asarray(bursts[0]))[0])
-    np.asarray(checksum(jnp.asarray(bursts[0])))
 
     # END-TO-END: H2D each burst, denoise, fetch every uint8 frame back.
     # Bursts are issued asynchronously so transfers overlap compute.
@@ -114,14 +113,14 @@ def main():
     n_frames = n_bursts * BURST
     mps = n_frames * H * W / 1e6 / dt
 
-    # DEVICE CEILING: inputs pre-staged on device, only [BURST] int32
-    # checksums fetched — isolates device compute from tunnel transfers.
+    # DEVICE CEILING: same program, inputs pre-staged on device; output
+    # fetches overlap the next burst's compute.
     staged = [jax.device_put(b) for b in bursts * 2]
     for s in staged:
         s.block_until_ready()
     t0 = time.perf_counter()
-    sums = [checksum(s) for s in staged]
-    _ = [np.asarray(s) for s in sums]
+    outs = [run(s)[0] for s in staged]
+    _ = [np.asarray(o) for o in outs]
     dt_dev = time.perf_counter() - t0
     device_mps = len(staged) * BURST * H * W / 1e6 / dt_dev
 

@@ -30,8 +30,14 @@ def parse_args(argv=None):
     parser.add_argument("--overlap", type=int, default=64)
     parser.add_argument("--tile_batch", type=int, default=-1,
                         help="forward chunk size; 0 = all tiles in one batch, "
-                             "-1 = lax.map tile scan (default: fastest compile "
-                             "and best measured throughput on TPU)")
+                             "-k = lax.map scan over k-tile chunks (-1 default;"
+                             " -8 fills the TPU sublane dim — fastest with "
+                             "--frame_burst, see docs/PERF.md)")
+    parser.add_argument("--frame_burst", type=int, default=0,
+                        help="process N same-shape frames per device dispatch "
+                             "(serving-throughput mode; 8 with --tile_batch -8 "
+                             "reaches the bench numbers). 0 = frame-by-frame "
+                             "like the reference.")
     # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
@@ -40,6 +46,15 @@ def parse_args(argv=None):
 
     add_dtype_flag(parser)
     return parser.parse_args(argv)
+
+
+def _drain_burst(item, cache):
+    """Fetch one in-flight burst's outputs to the host cache."""
+    chunk, (out_dev, l1_dev) = item
+    out = np.asarray(out_dev)
+    l1 = np.asarray(l1_dev)
+    for k, j in enumerate(chunk):
+        cache[j] = (out[k], float(l1[k]))
 
 
 def evaluate(opt):
@@ -70,6 +85,39 @@ def evaluate(opt):
             tile_batch = 0
         print(f"tile-parallel over {mesh.devices.size} devices")
 
+    # --frame_burst: denoise N same-shape frames per dispatch, two bursts in
+    # flight so transfers overlap compute (the bench pipeline shape)
+    pred_cache: dict = {}
+    if getattr(opt, "frame_burst", 0) and opt.frame_burst > 1 and mesh is None:
+        import jax.numpy as jnp
+
+        from ..eval.tiled import make_tiled_pyramid_runner_frames
+
+        fb = opt.frame_burst
+        by_shape: dict = {}
+        for j, nz in enumerate(noisy_imgs):
+            by_shape.setdefault(np.shape(nz), []).append(j)
+        for (h, w), idxs in sorted(by_shape.items()):
+            runner = make_tiled_pyramid_runner_frames(
+                fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
+                out_dtype="uint8_floor",
+            )
+            inflight = []
+            for s in range(0, len(idxs), fb):
+                chunk = idxs[s : s + fb]
+                batchf = np.stack(
+                    [np.asarray(noisy_imgs[j], np.uint8) for j in chunk]
+                )
+                if len(chunk) < fb:  # pad tail by repeating the last frame
+                    batchf = np.concatenate(
+                        [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                    )
+                inflight.append((chunk, runner(jnp.asarray(batchf))))
+                if len(inflight) > 2:
+                    _drain_burst(inflight.pop(0), pred_cache)
+            while inflight:
+                _drain_burst(inflight.pop(0), pred_cache)
+
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
         clean_name = os.path.basename(clean_paths[i]).split(".")[0]
@@ -78,11 +126,14 @@ def evaluate(opt):
         clean_u8 = np.asarray(clean).astype(np.uint8)
         noisy_u8 = np.asarray(noisy).astype(np.uint8)
 
-        # uint8 quantization (reference: clip(p·255), NO +0.5) fused on device
-        pred255, l1_val = denoise_tiled_pyramid(
-            fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
-            batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
-        )
+        if i in pred_cache:
+            pred255, l1_val = pred_cache.pop(i)
+        else:
+            # uint8 quantization (reference: clip(p·255), NO +0.5) on device
+            pred255, l1_val = denoise_tiled_pyramid(
+                fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
+                batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
+            )
 
         save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
         save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 H = W = 704
 PS, OVERLAP = 352, 64
-BURST = 4
+BURST = int(os.environ.get("BURST", "4"))
 
 
 def emit(**kw):

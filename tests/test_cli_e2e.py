@@ -85,6 +85,44 @@ def test_train_and_eval_cli(fixture_dataset, tmp_path):
     assert "Average 3-class IoU" in text
 
 
+def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
+    """--frame_burst (burst-pipelined frames, the bench pipeline shape) must
+    be byte-identical to the reference frame-by-frame path, including the
+    padded tail burst (3 frames, burst 2)."""
+    from image_denoising_tpu.cli import evaluation_704 as eval704
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path / "results")
+    train_cli.main([
+        "--data_dir", fixture_dataset, "--save_model_path", save_root,
+        "--log_name", "UNetImproved_fb", "--n_feature", "8",
+        "--n_epoch", "1", "--batchsize", "2", "--max_steps_per_epoch", "1",
+    ])
+    ckpts = []
+    for dirpath, _, files in os.walk(save_root):
+        ckpts += [os.path.join(dirpath, f) for f in files
+                  if f.endswith("epoch_model_001.ckpt")]
+    args = [
+        "--data_dir", fixture_dataset, "--checkpoint", ckpts[0],
+        "--n_feature", "8", "--log_name", "UNetImproved_fb",
+        "--tile", "32", "--overlap", "16",
+    ]
+    seq_dir = str(tmp_path / "seq")
+    burst_dir = str(tmp_path / "burst")
+    avg_seq = eval704.main(args + ["--save_dir", seq_dir])
+    avg_burst = eval704.main(
+        args + ["--save_dir", burst_dir, "--frame_burst", "2"]
+    )
+    assert avg_seq == avg_burst
+    from PIL import Image
+
+    for f in sorted(os.listdir(seq_dir)):
+        if f.endswith(".png"):
+            a = np.asarray(Image.open(os.path.join(seq_dir, f)))
+            b = np.asarray(Image.open(os.path.join(burst_dir, f)))
+            assert np.array_equal(a, b), f
+
+
 def test_train_n2n_mode(fixture_dataset, tmp_path):
     from image_denoising_tpu.cli import train as train_cli
 
