@@ -110,7 +110,10 @@ class LowFrequencyBlendAdapter(nn.Module):
         from jax import lax
 
         k = self.kernel_size
-        kern = jnp.asarray(_gaussian_kernel2d(k, self.sigma))
+        # conv requires matching dtypes; the fixed Gaussian runs in the
+        # incoming compute dtype (bf16-safe, regression-tested)
+        x = jnp.asarray(x)
+        kern = jnp.asarray(_gaussian_kernel2d(k, self.sigma), x.dtype)
         c = x.shape[-1]
         w = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
         return lax.conv_general_dilated(
@@ -242,8 +245,10 @@ def row_fft_features(x, num_bins: int = 3):
     """[B,H,W,C] → [B,num_bins] — row-wise rFFT power band means, log1p,
     per-sample mean-normalized (finetune_memory.py:1077-1116)."""
     b, h, w, c = x.shape
-    # torch reshapes NCHW to [B, C·H, W]; rows are rows either way
+    # torch reshapes NCHW to [B, C·H, W]; rows are rows either way.
+    # XLA's RFFT is f32-only — promote in case the base ran in bf16.
     rows = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c * h, w)
+    rows = rows.astype(jnp.float32)
     spec = jnp.fft.rfft(rows, axis=-1)
     power = spec.real**2 + spec.imag**2
     power_mean = power.mean(axis=1)  # [B, F]

@@ -30,7 +30,12 @@ LEAKY_SLOPE = 0.2
 
 
 def leaky_relu(x):
-    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+    """LeakyReLU(0.2) as max(x, 0.2·x) — identical to the where-based form
+    for any slope in [0,1], but XLA/TPU fuses the maximum into the producing
+    conv's epilogue where the compare+select lowering of ``nn.leaky_relu``
+    stays a standalone kernel (a full HBM round trip per activation; measured
+    47% of device time on the tiled-eval profile, docs/PERF.md)."""
+    return jnp.maximum(x, LEAKY_SLOPE * x)
 
 
 def gn_groups(channels: int, groups: int = 32) -> int:
