@@ -100,19 +100,22 @@ def bench_memory_eval(chunk: int):
                                  batch=-chunk, out_dtype="uint8_round")
 
     @jax.jit
-    def pipe(seed):
+    def pipe(seed, p, bn, bc, bs):
+        # bank passed as runtime args, NOT closed over — closure constants
+        # would embed the multi-100MB bank into the serialized program
         frame = jax.random.randint(
             jax.random.PRNGKey(seed), (h, w), 0, 256, jnp.int32
         ).astype(jnp.uint8)
-        return run(frame, params, bank.noise_flat, bank.clean, bank.sq_norms)
+        return run(frame, p, bn, bc, bs)
 
+    args = (params, bank.noise_flat, bank.clean, bank.sq_norms)
     t0 = time.perf_counter()
-    np.asarray(pipe(0))
+    np.asarray(pipe(0, *args))
     compile_s = time.perf_counter() - t0
 
     n = 6
     t0 = time.perf_counter()
-    outs = [pipe(i + 1) for i in range(n)]
+    outs = [pipe(i + 1, *args) for i in range(n)]
     _ = [np.asarray(o) for o in outs]
     dt = time.perf_counter() - t0
     emit(kind="memory_eval", chunk=chunk, mps=round(n * h * w / 1e6 / dt, 3),
