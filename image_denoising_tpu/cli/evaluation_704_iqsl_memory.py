@@ -49,8 +49,10 @@ def parse_args(argv=None):
                              "--parallel")
     parser.add_argument("--bank_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--tile_batch", type=int, default=-1,
-                        help="-1 = lax.map tile scan; 0 = one batch")
+    parser.add_argument("--tile_batch", type=int, default=-8,
+                        help="-k = lax.map scan over k-tile chunks; 0 = one "
+                             "batch. Default -8 fills the TPU sublane dim "
+                             "(+70%% over -1 on this engine, docs/PERF.md)")
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
@@ -92,7 +94,7 @@ def main(argv=None):
         from ..parallel import make_mesh
 
         mesh = make_mesh()
-        if tile_batch == -1:
+        if tile_batch < 0:
             tile_batch = 0  # sharding needs the whole tile batch in one forward
         print(f"tile-parallel over {mesh.devices.size} devices")
     if opt.bank_sharded:

@@ -205,6 +205,7 @@ def main(argv=None):
                 pred = denoise_tiled_hann(
                     model_call, np.asarray(noisy_np),
                     ps=opt.patch_size, overlap=opt.patch_size // 2,
+                    batch=-8,  # sublane-filling tile chunks (docs/PERF.md)
                     extra=(state.params, bank.noise_flat, bank.clean, bank.sq_norms),
                 )
                 pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)

@@ -148,6 +148,47 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
     assert avg["psnr"] > 5.0 and "iou_dark" in avg
 
 
+def test_finetune_memory_bf16_cli(fixture_dataset, base_ckpt, tmp_path):
+    """--dtype bfloat16 through the memory finetune + memory eval CLIs
+    (regression: the FFT adapter's rfft and the lowpass depthwise conv
+    crashed on a bf16 base)."""
+    from image_denoising_tpu.cli import evaluation_704_iqsl_memory, finetune_memory
+
+    save_root = str(tmp_path / "ft_mem_bf16")
+    finetune_memory.main([
+        "--data_dir", fixture_dataset,
+        "--pretrained_ckpt", base_ckpt,
+        "--arch", "UNetImproved",
+        "--save_model_path", save_root,
+        "--log_name", "ft_mem_bf16",
+        "--n_feature", "16",
+        "--n_epoch", "1",
+        "--batchsize", "2",
+        "--patch_size", "32",
+        "--patches_per_image", "2",
+        "--num_memory_images", "2",
+        "--memory_stride", "16",
+        "--dtype", "bfloat16",
+    ])
+    adapter_ckpt = os.path.join(save_root, "ft_mem_bf16", "epoch_adapter_only_001.ckpt")
+    assert os.path.exists(adapter_ckpt)
+
+    avg = evaluation_704_iqsl_memory.main([
+        "--data_dir", fixture_dataset,
+        "--base_ckpt", base_ckpt,
+        "--adapter_ckpt", adapter_ckpt,
+        "--arch", "UNetImproved",
+        "--save_dir", str(tmp_path / "eval_mem_bf16"),
+        "--n_feature", "16",
+        "--patch_size", "32",
+        "--overlap", "16",
+        "--num_memory_images", "2",
+        "--memory_stride", "16",
+        "--dtype", "bfloat16",
+    ])
+    assert avg["psnr"] > 5.0
+
+
 def test_finetune_parallel_flag(fixture_dataset, base_ckpt, tmp_path):
     """--parallel shards patch batches over the 8-device CPU mesh."""
     from image_denoising_tpu.cli import finetune
