@@ -79,16 +79,17 @@ def evaluate(opt):
         from ..parallel import make_mesh
 
         mesh = make_mesh()
-        if tile_batch == -1:
+        if tile_batch < 0:
             # a lax.map tile scan is sequential; mesh sharding needs the
             # whole tile batch in one forward
             tile_batch = 0
         print(f"tile-parallel over {mesh.devices.size} devices")
 
     # --frame_burst: denoise N same-shape frames per dispatch, two bursts in
-    # flight so transfers overlap compute (the bench pipeline shape)
+    # flight so transfers overlap compute (the bench pipeline shape). With
+    # --parallel the burst's flattened tile stack shards over the mesh.
     pred_cache: dict = {}
-    if getattr(opt, "frame_burst", 0) and opt.frame_burst > 1 and mesh is None:
+    if getattr(opt, "frame_burst", 0) and opt.frame_burst > 1:
         import jax.numpy as jnp
 
         from ..eval.tiled import make_tiled_pyramid_runner_frames
@@ -100,7 +101,7 @@ def evaluate(opt):
         for (h, w), idxs in sorted(by_shape.items()):
             runner = make_tiled_pyramid_runner_frames(
                 fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
-                out_dtype="uint8_floor",
+                out_dtype="uint8_floor", mesh=mesh,
             )
             inflight = []
             for s in range(0, len(idxs), fb):

@@ -276,16 +276,19 @@ def make_tiled_pyramid_runner(
 
 def make_tiled_pyramid_runner_frames(
     model_call: Callable, n_frames: int, h: int, w: int, ps: int = 352,
-    overlap: int = 64, batch: int = 0, out_dtype: str = "float32",
+    overlap: int = 64, batch: int = 0, out_dtype: str = "float32", mesh=None,
 ):
     """Frame-batched variant: [F,H,W] float255 → ([F,H,W] pred, [F] L1).
 
     All F·T tiles run as one forward and the blends vmap over frames — one
     device dispatch for a whole burst of frames, amortizing launch/transfer
-    latency (the serving-pipeline shape; see bench.py). ``batch=-1`` runs the
-    F·T tile stack as a lax.map scan (network body compiled ONCE — the
-    compile-time fix that makes burst programs viable on slow-compile
-    backends). ``out_dtype`` as in make_tiled_pyramid_runner.
+    latency (the serving-pipeline shape; see bench.py). ``batch=-k`` runs the
+    F·T tile stack as a lax.map scan over k-tile chunks (network body
+    compiled ONCE — the compile-time fix that makes burst programs viable on
+    slow-compile backends; k=8 fills the TPU sublane dim). ``out_dtype`` as
+    in make_tiled_pyramid_runner. ``mesh`` shards the flattened F·T tile
+    stack over the device mesh (use with batch=0 — a lax.map scan is
+    sequential and gains nothing from sharding).
     """
     stride = ps - overlap
     grid = reference_tile_grid(h, w, ps, stride)
@@ -303,7 +306,12 @@ def make_tiled_pyramid_runner_frames(
         imgs = frames255.astype(jnp.float32) / 255.0  # [F,H,W]
         tiles = imgs[:, row_idx[:, :, None], col_idx[:, None, :]]  # [F,T,ps,ps]
         tiles = tiles.reshape(n_frames * t, ps, ps, 1)
+        n_tiles = tiles.shape[0]
+        if mesh is not None:
+            tiles, n_tiles = _shard_tiles(tiles, mesh)
         preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
+        preds = preds[:n_tiles]
+        tiles = tiles[:n_tiles]
         preds = preds.reshape(n_frames, t, ps, ps)
         tiles = tiles.reshape(n_frames, t, ps, ps)
         l1 = jnp.mean(jnp.abs(preds - tiles), axis=(2, 3)).mean(axis=1)

@@ -1,0 +1,107 @@
+"""Production-scale memory-bounded eval on real TPU.
+
+Runs the E6 CLI (evaluation_704_iqsl_memory) at the reference's PRODUCTION
+memory configuration (eval_704_iqsl_memory.sh:34-38): patch 128, overlap 64,
+5 memory images, memory stride 4 — on synthetic 704² SEM-like frames. At
+stride 4 the bank is ~105k 128² patches (~3.4 GB bf16 noise + 6.9 GB f32
+clean), the memory-bounded regime SURVEY.md §5 calls out. Validates that one
+v5e chip holds the production bank with `--bank_dtype bfloat16` and streams
+it through the Pallas retrieval kernel.
+
+Writes PNGs + metrics under /tmp/mem_prod; prints one JSON line at the end.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_dataset(root: str, n: int = 5, hw: int = 704) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "clean"), exist_ok=True)
+    os.makedirs(os.path.join(root, "noise"), exist_ok=True)
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    for i in range(n):
+        clean = (
+            110
+            + 70 * np.sin(xx / 11.0 + 2 * i)
+            + 40 * ((yy // 32 + xx // 32) % 2)
+        ).clip(0, 255).astype(np.uint8)
+        noisy = np.clip(
+            clean.astype(np.float32) + rng.normal(0, 14, clean.shape), 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(clean).save(f"{root}/clean/sem0000_{i:02d}.png")
+        Image.fromarray(noisy).save(f"{root}/noise/sem0000_{i:02d}.png")
+
+
+def main():
+    root = "/tmp/mem_prod_data"
+    make_dataset(root)
+
+    from image_denoising_tpu.cli import evaluation_704_iqsl_memory as mem_cli
+
+    # base + adapter ckpts from a tiny-geometry wrapper init — this probe is
+    # about the production-scale memory machinery, not model quality (and a
+    # real 704² training step is a separate, HBM-heavier program)
+    import jax
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.adapters import DenoiserWithMemoryAdapter
+    from image_denoising_tpu.ckpt import save_checkpoint
+    from image_denoising_tpu.models import ImprovedUNet
+
+    small = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48)
+    wrapper = DenoiserWithMemoryAdapter(
+        base=small, in_channels=1, hidden_channels=16, variant="hyper_gated_fft"
+    )
+    rngk = np.random.default_rng(0)
+    bank_n = jnp.asarray(rngk.random((4, 32 * 32), dtype=np.float32))
+    bank_c = jnp.asarray(rngk.random((4, 32, 32, 1), dtype=np.float32))
+    sq = jnp.sum(bank_n**2, axis=1)
+    tiles = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    wparams = jax.jit(wrapper.init)(
+        jax.random.PRNGKey(0), tiles, bank_n, bank_c, sq
+    )["params"]
+    ckpt = save_checkpoint(
+        jax.device_get(wparams["base"]), "/tmp/mem_prod_results", "model", 1
+    )
+    adapter_ckpt = save_checkpoint(
+        jax.device_get(wparams["adapter"]), "/tmp/mem_prod_results",
+        "adapter_only", 1,
+    )
+
+    t0 = time.perf_counter()
+    avg = mem_cli.main([
+        "--data_dir", root,
+        "--base_ckpt", ckpt,
+        "--adapter_ckpt", adapter_ckpt,
+        "--arch", "UNetImproved",
+        "--save_dir", "/tmp/mem_prod",
+        "--n_feature", "48",
+        "--patch_size", "128",
+        "--overlap", "64",
+        "--num_memory_images", "5",
+        "--memory_stride", "4",
+        "--bank_dtype", "bfloat16",
+        "--pallas_retrieval",
+        "--dtype", "bfloat16",
+    ])
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "kind": "memory_production", "psnr": round(avg.get("psnr", 0), 2),
+        "wall_s": round(wall, 1), "frames": 5,
+        "config": "patch128/overlap64/5imgs/stride4/bf16bank/pallas",
+    }))
+
+
+if __name__ == "__main__":
+    main()

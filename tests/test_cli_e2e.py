@@ -108,19 +108,26 @@ def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
         "--tile", "32", "--overlap", "16",
     ]
     seq_dir = str(tmp_path / "seq")
-    burst_dir = str(tmp_path / "burst")
     avg_seq = eval704.main(args + ["--save_dir", seq_dir])
-    avg_burst = eval704.main(
-        args + ["--save_dir", burst_dir, "--frame_burst", "2"]
-    )
-    assert avg_seq == avg_burst
     from PIL import Image
 
-    for f in sorted(os.listdir(seq_dir)):
-        if f.endswith(".png"):
-            a = np.asarray(Image.open(os.path.join(seq_dir, f)))
-            b = np.asarray(Image.open(os.path.join(burst_dir, f)))
-            assert np.array_equal(a, b), f
+    # plain burst AND mesh-sharded burst (--parallel) must both be
+    # byte-identical to the sequential reference path
+    for mode, extra in (("burst", []), ("pburst", ["--parallel"])):
+        out_dir = str(tmp_path / mode)
+        avg = eval704.main(
+            args + ["--save_dir", out_dir, "--frame_burst", "2"] + extra
+        )
+        # PNGs are byte-identical below; the float metrics may differ in the
+        # last ulps under --parallel (sharded-reduction summation order)
+        for k in avg_seq:
+            np.testing.assert_allclose(avg[k], avg_seq[k], rtol=1e-6,
+                                       err_msg=f"{mode}:{k}")
+        for f in sorted(os.listdir(seq_dir)):
+            if f.endswith(".png"):
+                a = np.asarray(Image.open(os.path.join(seq_dir, f)))
+                b = np.asarray(Image.open(os.path.join(out_dir, f)))
+                assert np.array_equal(a, b), (mode, f)
 
 
 def test_train_n2n_mode(fixture_dataset, tmp_path):
