@@ -14,8 +14,10 @@ import jax.numpy as jnp
 from image_denoising_tpu.models import ImprovedUNet
 
 dtype = jnp.bfloat16 if "bf16" in sys.argv[1:] else None
+batch = next((int(a[len("batch"):]) for a in sys.argv[1:]
+              if a.startswith("batch")), 1)
 model = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48, dtype=dtype)
-x = jnp.zeros((1, 352, 352, 1), jnp.float32)
+x = jnp.zeros((batch, 352, 352, 1), jnp.float32)
 params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
 
 
