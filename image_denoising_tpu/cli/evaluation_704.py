@@ -38,6 +38,9 @@ def parse_args(argv=None):
                              "(serving-throughput mode; 8 with --tile_batch -8 "
                              "reaches the bench numbers). 0 = frame-by-frame "
                              "like the reference.")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler device trace of the "
+                             "denoise loop to this directory")
     # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
@@ -84,6 +87,13 @@ def evaluate(opt):
             # whole tile batch in one forward
             tile_batch = 0
         print(f"tile-parallel over {mesh.devices.size} devices")
+
+    profiling = False
+    if getattr(opt, "profile_dir", None):
+        import jax
+
+        jax.profiler.start_trace(opt.profile_dir)
+        profiling = True
 
     # --frame_burst: denoise N same-shape frames per dispatch, two bursts in
     # flight so transfers overlap compute (the bench pipeline shape). With
@@ -152,6 +162,12 @@ def evaluate(opt):
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
         writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val, ious=ious)
         print(msg)
+
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {opt.profile_dir}")
 
     writer.write(opt.save_dir)
     avg = writer.averages()
