@@ -124,6 +124,11 @@ def test_memory_eval_parallel_bank_sharded_identical(fixture_dataset, ckpts, tmp
         "--overlap", "16",
         "--num_memory_images", "2",
         "--memory_stride", "16",
+        # pin one forward batching for all three paths: --parallel forces
+        # tile_batch 0, and different conv batch sizes differ in low-order
+        # bits (the default is now the chunk-8 scan). This test is about the
+        # sharding machinery, which must be bit-exact at equal batching.
+        "--tile_batch", "0",
     ]
     evaluation_704_iqsl_memory.main(args + ["--save_dir", str(tmp_path / "single")])
     evaluation_704_iqsl_memory.main(
