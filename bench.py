@@ -20,8 +20,12 @@ Workloads (the reference's production geometries):
 * mfu_pct — device FLOP/s vs the chip's bf16 peak, from the XLA cost
   analysis of the forward (169.1 GFLOP per 352² tile, 9 tiles/frame).
 * train_s_per_step — A-domain train step (train.py:354-368 workload):
-  Structure loss, batch 4×352², remat, f32, fused H2D+/255+double-forward+
-  backward+Adam; timed through a real D2H metric fetch.
+  Structure loss, batch 4×352², remat, f32, fused H2D+/255+forward+backward+
+  Adam; the reference's two batch-4 forwards run as ONE concatenated batch-8
+  forward (sublane-aligned, semantically identical — see
+  make_structure_train_step(fused=True)); timed through a real D2H metric
+  fetch. train_mfu_pct = step FLOPs (XLA cost analysis, 4.277 TFLOP incl.
+  remat recompute) over the bf16 peak.
 
 ``vs_baseline`` fields are speedups over the PyTorch-CPU reference measured
 by scripts/measure_torch_baseline.py (bench_baseline.json).
@@ -50,6 +54,10 @@ TILE_CHUNK = -8  # lax.map over 8-tile chunks (sublane-filling batch)
 # scripts/bench_experiments.py). The pyramid grid runs 9 such tiles per frame.
 FLOPS_PER_TILE = 169.1e9
 TILES_PER_FRAME = 9
+# XLA cost analysis of the FUSED structure train step (batch 4×352², remat,
+# fused batch-8 forward + backward + Adam): 4.277 TFLOP/step — includes the
+# remat recompute. Regenerate: step.lower(...).compile().cost_analysis().
+TRAIN_FLOPS_PER_STEP = 4.2768e12
 BF16_PEAK = {"TPU v5 lite": 197e12}  # chip bf16 peak FLOP/s by device_kind
 
 
@@ -149,6 +157,12 @@ def main():
     assert np.isfinite(loss)
     s_per_step = dt_train / n_steps
 
+    train_mfu = None
+    if peak:
+        # f32 program measured against the bf16 peak — a conservative
+        # (understated) MFU, comparable with mfu_pct above
+        train_mfu = round(100.0 * TRAIN_FLOPS_PER_STEP / s_per_step / peak, 2)
+
     eval_base, train_base = _load_baselines()
     out = {
         "metric": "tiled352_denoise_throughput",
@@ -159,6 +173,7 @@ def main():
         "mfu_pct": mfu,
         "train_s_per_step": round(s_per_step, 4),
         "train_vs_baseline": round(train_base / s_per_step, 1) if train_base else None,
+        "train_mfu_pct": train_mfu,
     }
     print(json.dumps(out))
 

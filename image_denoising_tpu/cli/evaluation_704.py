@@ -107,6 +107,10 @@ def evaluate(opt):
         fb = opt.frame_burst
         by_shape: dict = {}
         for j, nz in enumerate(noisy_imgs):
+            assert np.ndim(nz) == 2, (
+                f"tiled pyramid eval is single-channel: frame {j} has shape "
+                f"{np.shape(nz)}"
+            )
             by_shape.setdefault(np.shape(nz), []).append(j)
         for (h, w), idxs in sorted(by_shape.items()):
             runner = make_tiled_pyramid_runner_frames(

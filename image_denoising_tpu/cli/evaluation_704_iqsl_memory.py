@@ -53,6 +53,12 @@ def parse_args(argv=None):
                         help="-k = lax.map scan over k-tile chunks; 0 = one "
                              "batch. Default -8 fills the TPU sublane dim "
                              "(+70%% over -1 on this engine, docs/PERF.md)")
+    parser.add_argument("--frame_burst", type=int, default=0,
+                        help="denoise N same-shape frames per device dispatch "
+                             "(two bursts in flight so transfers overlap "
+                             "compute — the bench pipeline shape, here for "
+                             "the memory/Hann engine). 0 = frame-by-frame "
+                             "like the reference.")
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
@@ -126,18 +132,71 @@ def main(argv=None):
             {"params": params}, tiles, bank_noise, bank_clean, bank_norms
         )
 
+    # --frame_burst: N same-shape frames per dispatch through the Hann frames
+    # runner, two bursts in flight so H2D/D2H overlap compute (the fix for E6
+    # running at half the pyramid engine's throughput — VERDICT r2 weak #3).
+    pred_cache: dict = {}
+    if opt.frame_burst and opt.frame_burst > 1:
+        import jax.numpy as jnp
+
+        from ..eval import make_tiled_hann_runner_frames
+
+        fb = opt.frame_burst
+        extra = (params, bank.noise_flat, bank.clean, bank.sq_norms)
+        by_shape: dict = {}
+        for j, nz in enumerate(noisy_imgs):
+            shape = np.shape(nz)
+            if len(shape) == 3 and shape[2] == 1:
+                shape = shape[:2]
+            assert len(shape) == 2, (
+                f"memory tiled eval is single-channel: frame {j} has shape "
+                f"{np.shape(nz)}"
+            )
+            by_shape.setdefault(shape, []).append(j)
+
+        def _drain(item):
+            chunk, out_dev = item
+            out = np.asarray(out_dev)
+            for k, j in enumerate(chunk):
+                pred_cache[j] = out[k]
+
+        for (h, w), idxs in sorted(by_shape.items()):
+            runner = make_tiled_hann_runner_frames(
+                model_call, fb, h, w, ps=opt.patch_size, overlap=opt.overlap,
+                batch=tile_batch, out_dtype="uint8_round", mesh=mesh,
+            )
+            inflight = []
+            for s in range(0, len(idxs), fb):
+                chunk = idxs[s : s + fb]
+                batchf = np.stack(
+                    [np.asarray(noisy_imgs[j], np.uint8).reshape(h, w)
+                     for j in chunk]
+                )
+                if len(chunk) < fb:  # pad tail by repeating the last frame
+                    batchf = np.concatenate(
+                        [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                    )
+                inflight.append((chunk, runner(jnp.asarray(batchf), *extra)))
+                if len(inflight) > 2:
+                    _drain(inflight.pop(0))
+            while inflight:
+                _drain(inflight.pop(0))
+
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
         noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
         clean255 = np.asarray(clean).astype(np.uint8)
 
-        # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
-        pred255 = denoise_tiled_hann(
-            model_call, np.asarray(noisy), ps=opt.patch_size,
-            overlap=opt.overlap, batch=tile_batch,
-            extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
-            out_dtype="uint8_round", mesh=mesh,
-        ).squeeze(-1)
+        if i in pred_cache:
+            pred255 = pred_cache.pop(i)
+        else:
+            # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
+            pred255 = denoise_tiled_hann(
+                model_call, np.asarray(noisy), ps=opt.patch_size,
+                overlap=opt.overlap, batch=tile_batch,
+                extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
+                out_dtype="uint8_round", mesh=mesh,
+            ).squeeze(-1)
 
         save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
                  mode="L")

@@ -54,6 +54,15 @@ def parse_args(argv=None):
     parser.add_argument("--pallas_retrieval", action="store_true",
                         help="stream the bank through VMEM (Pallas kernel) "
                              "instead of materializing the [B,N] distance matrix")
+    parser.add_argument("--bank_sharded", action="store_true",
+                        help="shard BOTH banks over the device mesh and "
+                             "retrieve with the ring (ppermute) kernel during "
+                             "training AND Hann validation — per-chip bank "
+                             "HBM drops to 1/k (the production stride-4 "
+                             "regime: ~10.3 GB f32 banks). Gradients flow "
+                             "only to the adapter, so the ring stays "
+                             "inference-only inside the step. Composes with "
+                             "--parallel (batch DP).")
     parser.add_argument("--bank_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="noise-bank storage dtype (bf16 halves HBM)")
@@ -116,23 +125,43 @@ def main(argv=None):
     base_params = load_checkpoint(opt.pretrained_ckpt, arch=opt.arch)
     print(f"Loaded base weights from {opt.pretrained_ckpt}")
 
+    mesh = None
+    retrieval_fn = None
+    if opt.parallel or opt.bank_sharded:
+        from ..parallel import make_mesh, replicate
+
+        mesh = make_mesh()
+        if opt.parallel:
+            base_params = replicate(mesh, base_params)
+            print(f"data-parallel over {len(jax.devices())} devices")
+    if opt.bank_sharded:
+        from ..memory import make_ring_retrieval, shard_bank
+
+        # training batches (and the Hann validation's tile chunks) are small
+        # and replicated; only the BANKS shard — each device scans its 1/k
+        # shard and the shards rotate around the ring (ref behavior being
+        # scaled: finetune_memory.py:1256-1277)
+        bank = shard_bank(bank, mesh, "data")
+        retrieval_fn = make_ring_retrieval(mesh, "data", queries_sharded=False)
+        print(f"memory bank sharded over {mesh.devices.size} devices "
+              f"(~{bank.noise_flat.nbytes // mesh.devices.size / 1e6:.1f} MB "
+              f"noise bank per device)")
+
     wrapper = DenoiserWithMemoryAdapter(
         base=base, in_channels=opt.n_channel,
         hidden_channels=opt.adapter_hidden, variant=opt.adapter_variant,
         pallas_retrieval=opt.pallas_retrieval,
+        retrieval_fn=retrieval_fn,
     )
-    mesh = None
-    if opt.parallel:
-        from ..parallel import make_mesh, replicate
-
-        mesh = make_mesh()
-        base_params = replicate(mesh, base_params)
-        print(f"data-parallel over {len(jax.devices())} devices")
 
     init_x = jnp.zeros((1, opt.patch_size, opt.patch_size, opt.n_channel))
+    if opt.bank_sharded:
+        # the ring retrieval's shard_map needs the real (sharded) bank shape
+        init_banks = (bank.noise_flat, bank.clean, bank.sq_norms)
+    else:
+        init_banks = (bank.noise_flat[:1], bank.clean[:1], bank.sq_norms[:1])
     variables = jax.jit(wrapper.init)(
-        jax.random.PRNGKey(opt.seed), init_x,
-        bank.noise_flat[:1], bank.clean[:1], bank.sq_norms[:1],
+        jax.random.PRNGKey(opt.seed), init_x, *init_banks,
     )
     state = create_train_state(variables["params"]["adapter"], lr=opt.lr)
 

@@ -108,30 +108,43 @@ def main(argv=None):
     def objective(trial):
         init_seed = SEED + trial.number
         trial.set_user_attr("init_seed", int(init_seed))
-        trial.set_user_attr("device", 0)
+
+        # per-trial device round-robin — the reference pins each Optuna trial
+        # to a GPU via trial.number % len(GPUS) + torch.cuda.set_device
+        # (train_opt.py:209-219); the JAX equivalent scopes the whole trial
+        # under jax.default_device so with --n_jobs > 1 concurrent trials
+        # actually run on distinct chips (the context is thread-local).
+        devices = jax.devices()
+        dev = devices[trial.number % len(devices)]
 
         n_feature = trial.suggest_int("n_feature", 16, 128, step=16)
         lr = trial.suggest_loguniform("lr", 1e-6, 3e-4)
         tune_epochs = max(1, args.tune_epochs)
 
-        # init snapshot for exact reproducibility of the final retrain
-        model = ImprovedUNet(in_nc=args.n_channel, out_nc=args.n_channel,
-                             n_feature=n_feature)
-        c0, _ = ds.get(0)
-        init_x = jnp.zeros((1,) + c0.shape, jnp.float32)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(init_seed), init_x)
-        snap_path = os.path.join(snap_dir, f"trial_{trial.number}_init.ckpt")
-        save_checkpoint(variables["params"], snap_dir, f"trial{trial.number}_init", 0)
-        trial.set_user_attr(
-            "init_weight_path",
-            os.path.join(snap_dir, f"epoch_trial{trial.number}_init_000.ckpt"),
-        )
-        w0 = jax.tree_util.tree_leaves(np_tree(variables["params"]))[0]
-        trial.set_user_attr("w0_sum", float(np.sum(w0)))
+        with jax.default_device(dev):
+            # record the device the computation ACTUALLY landed on, not the
+            # request (replaces the round-2 hardcoded 0)
+            probe = jax.jit(lambda: jnp.zeros(()))()
+            trial.set_user_attr("device", int(next(iter(probe.devices())).id))
 
-        loss, _, _ = train_epochs(
-            n_feature, lr, init_seed, tune_epochs, hpo_milestones(tune_epochs)
-        )
+            # init snapshot for exact reproducibility of the final retrain
+            model = ImprovedUNet(in_nc=args.n_channel, out_nc=args.n_channel,
+                                 n_feature=n_feature)
+            c0, _ = ds.get(0)
+            init_x = jnp.zeros((1,) + c0.shape, jnp.float32)
+            variables = jax.jit(model.init)(jax.random.PRNGKey(init_seed), init_x)
+            save_checkpoint(variables["params"], snap_dir,
+                            f"trial{trial.number}_init", 0)
+            trial.set_user_attr(
+                "init_weight_path",
+                os.path.join(snap_dir, f"epoch_trial{trial.number}_init_000.ckpt"),
+            )
+            w0 = jax.tree_util.tree_leaves(np_tree(variables["params"]))[0]
+            trial.set_user_attr("w0_sum", float(np.sum(w0)))
+
+            loss, _, _ = train_epochs(
+                n_feature, lr, init_seed, tune_epochs, hpo_milestones(tune_epochs)
+            )
         return float(loss)
 
     def json_logger(study, trial):

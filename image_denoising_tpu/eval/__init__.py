@@ -5,7 +5,9 @@ from .tiled import (
     edge_aligned_grid,
     hann_window_2d,
     make_tiled_hann_runner,
+    make_tiled_hann_runner_frames,
     make_tiled_pyramid_runner,
+    make_tiled_pyramid_runner_frames,
     pyramid_weight_mask,
     reference_tile_grid,
 )
@@ -17,7 +19,9 @@ __all__ = [
     "edge_aligned_grid",
     "hann_window_2d",
     "make_tiled_hann_runner",
+    "make_tiled_hann_runner_frames",
     "make_tiled_pyramid_runner",
+    "make_tiled_pyramid_runner_frames",
     "pyramid_weight_mask",
     "reference_tile_grid",
 ]

@@ -38,6 +38,10 @@ __all__ = [
     "denoise_whole_frame",
     "denoise_tiled_pyramid",
     "denoise_tiled_hann",
+    "make_tiled_pyramid_runner",
+    "make_tiled_pyramid_runner_frames",
+    "make_tiled_hann_runner",
+    "make_tiled_hann_runner_frames",
 ]
 
 
@@ -156,6 +160,16 @@ def _chunked_forward(model_call, tiles, batch: int, extra=()):
     return jnp.concatenate(outs, axis=0)
 
 
+def _coerce_batch(batch: int, mesh) -> int:
+    """mesh + negative batch is a silent perf foot-gun: a lax.map tile scan is
+    sequential, so sharding-constrained tiles would gain nothing. All runner
+    factories coerce to batch=0 (one sharded forward) so every caller — CLI or
+    direct library use — gets the enforced behavior."""
+    if mesh is not None and batch < 0:
+        return 0
+    return batch
+
+
 # Cache of fully-jitted per-frame programs keyed on (engine, model_call id,
 # geometry). Keeps eager dispatch off the hot path — essential when the TPU
 # sits behind a high-latency transport where every eager op is a round trip.
@@ -169,6 +183,43 @@ def denoise_whole_frame(model_call, noisy01: np.ndarray):
     return np.asarray(jnp.clip(pred, 0.0, 1.0))
 
 
+# Above this tile count the unrolled pad-and-add blend (O(tiles) HLO ops)
+# switches to an O(1)-program-size scatter fori_loop: a 4096² Hann grid is
+# ~4k tiles, and thousands of unrolled ops per blend can make compilation
+# impractical on a minutes-per-compile backend. Small grids (the documented
+# 704² workloads are 9–100 tiles) keep the unrolled form, which XLA fuses
+# into a handful of kernels where the scatter loop serializes (~14 ms/frame
+# of pure scatter on v5e, docs/PERF.md §4).
+_UNROLL_MAX_TILES = 256
+
+
+def _scatter_blend(r0s, c0s, wms, h: int, w: int, ps: int, inv_contrib,
+                   clip01: bool):
+    """O(1)-program-size blend: fori_loop of dynamic-slice adds on a canvas
+    padded by ps (pyramid grids may overrun the frame edge; the weight masks
+    are zero outside the valid extent so the overrun adds zeros)."""
+    r0j = jnp.asarray(r0s, jnp.int32)
+    c0j = jnp.asarray(c0s, jnp.int32)
+    # [T,ps,ps] per-tile zero-padded masks, or one shared [ps,ps] window
+    wmj = jnp.asarray(np.stack(wms) if isinstance(wms, list) else wms)
+
+    def blend(preds):
+        canvas = jnp.zeros((h + ps, w + ps), jnp.float32)
+
+        def body(i, canvas):
+            p = preds[i].astype(jnp.float32)
+            if clip01:
+                p = jnp.clip(p, 0.0, 1.0)
+            tile = p * (wmj if wmj.ndim == 2 else wmj[i])
+            cur = jax.lax.dynamic_slice(canvas, (r0j[i], c0j[i]), (ps, ps))
+            return jax.lax.dynamic_update_slice(canvas, cur + tile, (r0j[i], c0j[i]))
+
+        canvas = jax.lax.fori_loop(0, len(r0s), body, canvas)
+        return canvas[:h, :w] * inv_contrib
+
+    return blend
+
+
 def _make_pyramid_blender(grid, mask_np: np.ndarray, h: int, w: int):
     """Build preds[T,ps,ps] → [h,w] pyramid blend for a STATIC tile grid.
 
@@ -177,8 +228,11 @@ def _make_pyramid_blender(grid, mask_np: np.ndarray, h: int, w: int):
     kernels, where a scatter-add fori_loop serializes (measured ~14 ms/frame
     of pure scatter on v5e; this form is ~µs). The contribution map is
     input-independent: precomputed host-side and baked as a constant
-    reciprocal (multiply beats divide on the VPU).
+    reciprocal (multiply beats divide on the VPU). Grids larger than
+    _UNROLL_MAX_TILES fall back to the O(1)-program-size scatter loop so huge
+    frames stay compilable.
     """
+    ps = mask_np.shape[0]
     wms = []
     contrib = np.zeros((h, w), np.float64)
     for (r0, c0, th, tw) in grid:
@@ -187,6 +241,16 @@ def _make_pyramid_blender(grid, mask_np: np.ndarray, h: int, w: int):
         contrib[r0 : r0 + th, c0 : c0 + tw] += wm
     contrib[contrib == 0] = 1.0
     inv_contrib = jnp.asarray(1.0 / contrib, jnp.float32)
+
+    if len(grid) > _UNROLL_MAX_TILES:
+        padded = [
+            np.pad(mask_np[:th, :tw], ((0, ps - th), (0, ps - tw))).astype(np.float32)
+            for (_, _, th, tw) in grid
+        ]
+        return _scatter_blend(
+            [g[0] for g in grid], [g[1] for g in grid], padded, h, w, ps,
+            inv_contrib, clip01=True,
+        )
 
     def blend(preds):
         canvas = jnp.zeros((h, w), jnp.float32)
@@ -247,6 +311,7 @@ def make_tiled_pyramid_runner(
     {'float32', 'uint8_floor', 'uint8_round'} — uint8 fuses the quantization
     on device (see _quantize).
     """
+    batch = _coerce_batch(batch, mesh)
     stride = ps - overlap
     grid = reference_tile_grid(h, w, ps, stride)
     row_idx = jnp.asarray(
@@ -290,6 +355,7 @@ def make_tiled_pyramid_runner_frames(
     stack over the device mesh (use with batch=0 — a lax.map scan is
     sequential and gains nothing from sharding).
     """
+    batch = _coerce_batch(batch, mesh)
     stride = ps - overlap
     grid = reference_tile_grid(h, w, ps, stride)
     row_idx = jnp.asarray(
@@ -366,6 +432,13 @@ def _make_hann_blender(grid, window_np: np.ndarray, h: int, w: int, ps: int):
         wsum[r0 : r0 + ps, c0 : c0 + ps] += window_np
     inv_wsum = jnp.asarray(1.0 / (wsum + 1e-8), jnp.float32)
 
+    if len(grid) > _UNROLL_MAX_TILES:
+        return _scatter_blend(
+            [g[0] for g in grid], [g[1] for g in grid],
+            window_np.astype(np.float32), h, w, ps,
+            inv_wsum, clip01=False,
+        )
+
     def blend(preds):
         canvas = jnp.zeros((h, w), jnp.float32)
         for i, (r0, c0) in enumerate(grid):
@@ -381,6 +454,7 @@ def make_tiled_hann_runner(
     batch: int = 0, mesh=None, out_dtype: str = "float32",
 ):
     """One fully-jitted program: frame [H,W] float255 → pred [H,W]."""
+    batch = _coerce_batch(batch, mesh)
     grid = edge_aligned_grid(h, w, ps, overlap)
     r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
     c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
@@ -398,6 +472,44 @@ def make_tiled_hann_runner(
         preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
         preds = preds[:n_tiles]
         out = blend(preds)
+        return _quantize(out, out_dtype)
+
+    return run
+
+
+def make_tiled_hann_runner_frames(
+    model_call: Callable, n_frames: int, h: int, w: int, ps: int = 128,
+    overlap: int = 64, batch: int = 0, out_dtype: str = "float32", mesh=None,
+):
+    """Frame-batched Hann variant: [F,H,W] float255 → [F,H,W] pred.
+
+    The memory-engine analog of ``make_tiled_pyramid_runner_frames``
+    (reference geometry: evaluation_704_iqsl_memory.py:1015-1067): all F·T
+    128-px tiles run as one forward (or one lax.map scan at ``batch=-k``; k=8
+    fills the TPU sublane dim) and the Hann² blends vmap over frames — one
+    device dispatch per burst so transfers overlap compute, where the
+    single-frame runner ships one frame per dispatch. ``extra`` (params,
+    banks) threads through to model_call unchanged."""
+    batch = _coerce_batch(batch, mesh)
+    grid = edge_aligned_grid(h, w, ps, overlap)
+    r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
+    c0s = jnp.asarray([g[1] for g in grid], jnp.int32)
+    blend = _make_hann_blender(grid, hann_window_2d(ps), h, w, ps)
+    t = len(grid)
+
+    @jax.jit
+    def run(frames255, *extra):
+        imgs = frames255.astype(jnp.float32) / 255.0  # [F,H,W]
+        yy = jnp.arange(ps)
+        tiles = imgs[:, (r0s[:, None] + yy)[:, :, None],
+                     (c0s[:, None] + yy)[:, None, :]]  # [F,T,ps,ps]
+        tiles = tiles.reshape(n_frames * t, ps, ps, 1)
+        n_tiles = tiles.shape[0]
+        if mesh is not None:
+            tiles, n_tiles = _shard_tiles(tiles, mesh)
+        preds = _chunked_forward(model_call, tiles, batch, extra)[..., 0]
+        preds = preds[:n_tiles].reshape(n_frames, t, ps, ps)
+        out = jax.vmap(blend)(preds)
         return _quantize(out, out_dtype)
 
     return run

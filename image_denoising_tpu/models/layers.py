@@ -30,11 +30,18 @@ LEAKY_SLOPE = 0.2
 
 
 def leaky_relu(x):
-    """LeakyReLU(0.2) as max(x, 0.2·x) — identical to the where-based form
-    for any slope in [0,1], but XLA/TPU fuses the maximum into the producing
-    conv's epilogue where the compare+select lowering of ``nn.leaky_relu``
-    stays a standalone kernel (a full HBM round trip per activation; measured
-    47% of device time on the tiled-eval profile, docs/PERF.md)."""
+    """LeakyReLU(0.2) as max(x, 0.2·x) — forward-identical to the where-based
+    form for any slope in [0,1], but XLA/TPU fuses the maximum into the
+    producing conv's epilogue where the compare+select lowering of
+    ``nn.leaky_relu`` stays a standalone kernel (a full HBM round trip per
+    activation; measured 47% of device time on the tiled-eval profile,
+    docs/PERF.md).
+
+    Gradient caveat at exactly x == 0: jnp.maximum splits ties 0.5/0.5 so
+    d/dx = 0.6, vs 1.0 for jax.nn.leaky_relu and 0.2 for torch's LeakyReLU.
+    Measure-zero for real conv activations (forward parity tests pass
+    bit-level), but it IS a deviation — if a parity hunt ever lands here,
+    this is why."""
     return jnp.maximum(x, LEAKY_SLOPE * x)
 
 

@@ -62,12 +62,31 @@ def make_structure_train_step(
     gamma: float = 0.5,
     guards: bool = False,
     grad_clip: Optional[float] = None,
+    fused: bool = True,
 ):
-    """A-domain trainer step (train.py:354-368): double forward + Structure loss."""
+    """A-domain trainer step (train.py:354-368): double forward + Structure loss.
+
+    ``fused=True`` (default) runs the two forwards — network(noisy) and
+    network(clean), reference train.py:361 — as ONE concatenated batch-2B
+    forward and splits the outputs. Semantically identical (convs, pools and
+    GroupNorm are all per-sample; the loss terms are elementwise and split
+    after), but at the reference batch of 4 the concat makes every conv a
+    batch-8 conv — exactly filling the TPU sublane dim, which keeps XLA off
+    its space-to-batch rewrite the same way the eval path's chunk-8 tile scan
+    does (docs/PERF.md §3/§5). ``fused=False`` keeps the literal two-forward
+    form (used by the step-equivalence test).
+    """
 
     def loss_fn(params, clean01, noisy01):
-        pred_n = apply_fn({"params": params}, noisy01)
-        pred_c = apply_fn({"params": params}, clean01)
+        if fused:
+            b = noisy01.shape[0]
+            both = apply_fn(
+                {"params": params}, jnp.concatenate([noisy01, clean01], axis=0)
+            )
+            pred_n, pred_c = both[:b], both[b:]
+        else:
+            pred_n = apply_fn({"params": params}, noisy01)
+            pred_c = apply_fn({"params": params}, clean01)
         loss = structure_loss(pred_n, pred_c, clean01, alpha, beta, gamma)
         l1 = l1_loss(pred_n, clean01)
         return loss, l1

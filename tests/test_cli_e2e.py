@@ -111,15 +111,17 @@ def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
     avg_seq = eval704.main(args + ["--save_dir", seq_dir])
     from PIL import Image
 
-    # plain burst AND mesh-sharded burst (--parallel) must both be
-    # byte-identical to the sequential reference path
-    for mode, extra in (("burst", []), ("pburst", ["--parallel"])):
+    # plain burst (same -1 scan chunking as sequential → byte-identical) AND
+    # mesh-sharded burst (--parallel forces tile_batch 0, so conv batch sizes
+    # differ from the sequential scan → low-order float bits can move a
+    # blended pixel across a uint8 quantization boundary: atol 1, not bytes)
+    for mode, extra, atol in (("burst", [], 0), ("pburst", ["--parallel"], 1)):
         out_dir = str(tmp_path / mode)
         avg = eval704.main(
             args + ["--save_dir", out_dir, "--frame_burst", "2"] + extra
         )
-        # PNGs are byte-identical below; the float metrics may differ in the
-        # last ulps under --parallel (sharded-reduction summation order)
+        # the float metrics may differ in the last ulps under --parallel
+        # (sharded-reduction summation order)
         for k in avg_seq:
             np.testing.assert_allclose(avg[k], avg_seq[k], rtol=1e-6,
                                        err_msg=f"{mode}:{k}")
@@ -127,7 +129,11 @@ def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
             if f.endswith(".png"):
                 a = np.asarray(Image.open(os.path.join(seq_dir, f)))
                 b = np.asarray(Image.open(os.path.join(out_dir, f)))
-                assert np.array_equal(a, b), (mode, f)
+                if atol == 0:
+                    assert np.array_equal(a, b), (mode, f)
+                else:
+                    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+                    assert diff.max() <= atol, (mode, f, diff.max())
 
 
 def test_train_n2n_mode(fixture_dataset, tmp_path):

@@ -176,6 +176,66 @@ def test_frame_batched_runner_matches_per_frame(rng):
         assert abs(float(l1s[i]) - l1) < 1e-6
 
 
+def test_hann_frames_runner_matches_per_frame(rng):
+    """The memory-engine burst runner (make_tiled_hann_runner_frames) must be
+    byte-identical to the single-frame Hann path at the SAME tile chunking
+    (batch=-2 both sides — conv batch shapes match, so uint8 outputs are
+    exact)."""
+    from image_denoising_tpu.eval import make_tiled_hann_runner_frames
+
+    frames = np.stack([
+        rng.integers(0, 256, (96, 130)).astype(np.uint8) for _ in range(3)
+    ])
+    run = make_tiled_hann_runner_frames(_wrap(_affine_model), 3, 96, 130,
+                                        ps=64, overlap=32, batch=-2,
+                                        out_dtype="uint8_round")
+    outs = np.asarray(run(jnp.asarray(frames)))
+    for i in range(3):
+        single = denoise_tiled_hann(_wrap(_affine_model), frames[i],
+                                    ps=64, overlap=32, batch=-2,
+                                    out_dtype="uint8_round")
+        np.testing.assert_array_equal(outs[i], single[..., 0])
+
+
+def test_scatter_blend_fallback_matches_unrolled(rng, monkeypatch):
+    """Grids above _UNROLL_MAX_TILES switch to the O(1)-program-size scatter
+    fori_loop blend (huge-frame compile-time guard, ADVICE r2); it must match
+    the unrolled pad-and-add form exactly on both engines."""
+    import image_denoising_tpu.eval.tiled as tiled
+
+    noisy = rng.integers(0, 256, (80, 112)).astype(np.uint8)  # ragged pyramid
+    base_pyr, l1a = denoise_tiled_pyramid(_wrap(_affine_model), noisy,
+                                          ps=64, overlap=32)
+    base_hann = denoise_tiled_hann(_wrap(_affine_model), noisy,
+                                   ps=64, overlap=32)
+
+    monkeypatch.setattr(tiled, "_UNROLL_MAX_TILES", 1)
+    # fresh callables → fresh runner-cache keys (the threshold is not keyed)
+    sc_pyr, l1b = denoise_tiled_pyramid(_wrap(lambda t: _affine_model(t)),
+                                        noisy, ps=64, overlap=32)
+    sc_hann = denoise_tiled_hann(_wrap(lambda t: _affine_model(t)), noisy,
+                                 ps=64, overlap=32)
+    np.testing.assert_allclose(sc_pyr, base_pyr, atol=1e-6)
+    assert abs(l1a - l1b) < 1e-6
+    np.testing.assert_allclose(sc_hann, base_hann, atol=1e-6)
+
+
+def test_runner_factory_coerces_scan_batch_under_mesh(rng):
+    """mesh + negative batch would silently run sharded tiles through a
+    sequential scan — the factories coerce to batch=0 (ADVICE r2)."""
+    from image_denoising_tpu.eval import make_tiled_pyramid_runner
+    from image_denoising_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    noisy = rng.integers(0, 256, (96, 96)).astype(np.uint8)
+    run = make_tiled_pyramid_runner(_wrap(_affine_model), 96, 96, ps=64,
+                                    overlap=32, batch=-4, mesh=mesh)
+    out, _ = run(jnp.asarray(noisy))
+    expected, _ = denoise_tiled_pyramid(_wrap(_affine_model), noisy,
+                                        ps=64, overlap=32)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-6)
+
+
 def test_scan_tiles_equivalence(rng):
     """batch=-1 (lax.map over tiles) must match the fully-batched path."""
     noisy = rng.integers(0, 256, (96, 96)).astype(np.uint8)

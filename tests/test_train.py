@@ -65,6 +65,52 @@ def test_structure_step_reduces_loss(tiny_setup, rng):
     assert int(state.step) == 8
 
 
+def test_structure_step_fused_matches_double_forward(rng):
+    """The fused (single batch-2B forward) loss must have the SAME value and
+    gradients as the literal two-forward reference form (train.py:361) —
+    per-sample GroupNorm + elementwise losses make the concat exact up to
+    conv batch-size float association (measured ≤6e-8). ImprovedUNet is the
+    GroupNorm-bearing arch, the case where per-sample semantics matter.
+    Equivalence is pinned at the loss/grad level: Adam's g/(|g|+eps)
+    normalization amplifies epsilon-level grad differences into O(lr) update
+    differences wherever a near-zero gradient's sign flips, so post-update
+    param equality is not a meaningful contract."""
+    from image_denoising_tpu.losses import structure_loss
+
+    model = ImprovedUNet(in_nc=1, out_nc=1, n_feature=8)
+    x = jnp.zeros((2, 32, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    clean = jnp.asarray(rng.random((2, 32, 32, 1), dtype=np.float32))
+    noisy = jnp.clip(clean + rng.normal(0, 0.08, clean.shape).astype(np.float32),
+                     0, 1)
+
+    def loss_sep(p):
+        pn = model.apply({"params": p}, noisy)
+        pc = model.apply({"params": p}, clean)
+        return structure_loss(pn, pc, clean, 1.0, 0.5, 0.5)
+
+    def loss_fused(p):
+        b = noisy.shape[0]
+        both = model.apply({"params": p}, jnp.concatenate([noisy, clean], 0))
+        return structure_loss(both[:b], both[b:], clean, 1.0, 0.5, 0.5)
+
+    l1v, g1 = jax.jit(jax.value_and_grad(loss_sep))(params)
+    l2v, g2 = jax.jit(jax.value_and_grad(loss_fused))(params)
+    assert abs(float(l1v) - float(l2v)) < 1e-6, (float(l1v), float(l2v))
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # and the fused STEP (the production default) trains: loss decreases
+    state = create_train_state(params, lr=1e-3)
+    step = make_structure_train_step(model.apply, fused=True)
+    c255, n255 = clean * 255.0, noisy * 255.0
+    losses = []
+    for _ in range(4):
+        state, m = step(state, c255, n255)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_l1_step_guards_skip_bad_batch(tiny_setup):
     model, state = tiny_setup
     step0 = int(state.step)
