@@ -97,31 +97,28 @@ def _mask_slab(arr, row_mask, col_mask):
     return arr * (row_mask * col_mask)
 
 
-def _conv3x3_flat(x_flat, w9, cout, r, w2, *, acc_dtype=jnp.float32):
-    """9-tap conv on a flattened [R·W2, Cin] slab → [R·W2, Cout].
+def _conv3x3_flat(x_flat, w9, cout, r, w2, ybuf):
+    """9-tap conv on a flattened [R·W2, Cin] slab → [R·W2, Cout] (f32).
 
-    Border ring (first/last row, wrap columns) of the output is garbage —
-    callers mask it (the mask multiply also restores the zero ring).
+    ``ybuf`` is a shared scratch ref of shape [(R+2)·W2, ≥9·Cout] whose first
+    and last W2 rows are pre-zeroed: the tap matmul lands in its interior so
+    the extreme taps' one-past-the-end reads (which only affect border
+    COLUMNS — masked to zero by the caller) hit the zero pads in-bounds,
+    without materializing a concat copy of the [M, 9·Cout] buffer.
     """
-    y = jax.lax.dot_general(
+    m = r * w2
+    ybuf[w2 : w2 + m, : 9 * cout] = jax.lax.dot_general(
         x_flat, w9, (((1,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
+        preferred_element_type=jnp.float32,
     )  # [M, 9·Cout]
-    # The valid output window is flat rows [W2, (R-1)·W2); tap (dy,dx) reads
-    # offset (dy-1)·W2 + (dx-1), so the extreme taps reach one element past
-    # either end of y — only at border COLUMNS, which the caller masks to
-    # zero afterwards. Pad y with a zero row each side so those reads are
-    # in-bounds (and zero).
-    zpad = jnp.zeros((w2, 9 * cout), acc_dtype)
-    yp = jnp.concatenate([zpad, y, zpad], axis=0)
     m_valid = (r - 2) * w2
-    acc = jnp.zeros((m_valid, cout), acc_dtype)
+    acc = jnp.zeros((m_valid, cout), jnp.float32)
     for t in range(9):
         dy, dx = divmod(t, 3)
         off = dy * w2 + dx - 1 + w2  # static slice offsets (python ints)
-        acc = acc + yp[off : off + m_valid, t * cout : (t + 1) * cout]
+        acc = acc + ybuf[off : off + m_valid, t * cout : (t + 1) * cout]
     # pad one W2-row of zeros top and bottom back to constant shape
-    zrow = jnp.zeros((w2, cout), acc_dtype)
+    zrow = jnp.zeros((w2, cout), jnp.float32)
     return jnp.concatenate([zrow, acc, zrow], axis=0)
 
 
@@ -143,8 +140,9 @@ def _chain_kernel(
     """
     n_w = (2 if with_lead else 0) + 2 * n_growth + 2 + (1 if with_res0 else 0)
     w_refs = refs[:n_w]
-    out_refs = refs[n_w:-1]
-    feats = refs[-1]  # VMEM scratch [M, feats_pad]
+    out_refs = refs[n_w:-2]
+    feats = refs[-2]  # VMEM scratch [M, feats_pad]
+    ybuf = refs[-1]   # VMEM scratch [(R+2)·W2, n9_max] for the tap matmuls
 
     s = jax.lax.rem(pl.program_id(0), n_slabs)  # slab index within the sample
     r = s_rows + 2 * k
@@ -168,12 +166,16 @@ def _chain_kernel(
         wi += 1
         return ref
 
+    # pre-zero the tap buffer's one-row pads (see _conv3x3_flat)
+    ybuf[:w2, :] = jnp.zeros((w2, ybuf.shape[1]), jnp.float32)
+    ybuf[w2 + m :, :] = jnp.zeros((w2, ybuf.shape[1]), jnp.float32)
+
     x = x_ref[0].reshape(m, cin).astype(compute_dtype)  # layout-free: w2 % 8 == 0
 
     if with_lead:
         lead_w9 = next_w()
         lead_b = next_w()
-        h = _conv3x3_flat(x, lead_w9[:], nf, r, w2)
+        h = _conv3x3_flat(x, lead_w9[:], nf, r, w2, ybuf)
         h = _leaky(h + lead_b[:]).astype(compute_dtype) * mask
     else:
         h = x  # cin == nf
@@ -183,7 +185,7 @@ def _chain_kernel(
     for i in range(n_growth):
         g_w9 = next_w()
         g_b = next_w()
-        g = _conv3x3_flat(feats[:, :width], g_w9[:], growth, r, w2)
+        g = _conv3x3_flat(feats[:, :width], g_w9[:], growth, r, w2, ybuf)
         g = _leaky(g + g_b[:]).astype(compute_dtype) * mask
         feats[:, width : width + growth] = g
         width += growth
@@ -207,7 +209,7 @@ def _chain_kernel(
 
     if with_res0:
         res0_w9 = next_w()
-        c0 = _conv3x3_flat(rdb_out, res0_w9[:], nf, r, w2)
+        c0 = _conv3x3_flat(rdb_out, res0_w9[:], nf, r, w2, ybuf)
         c0 = (c0.astype(compute_dtype) * mask)
         out_refs[1][0] = interior(c0).astype(out_refs[1].dtype)
 
@@ -323,6 +325,11 @@ def fused_rdb_chain(
         out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((r * w2, feats_pad), compute_dtype),
+            # shared tap-matmul buffer: one zero row of pad each side
+            pltpu.VMEM(
+                ((r + 2) * w2, -(-9 * max(nf, growth) // 128) * 128),
+                jnp.float32,
+            ),
         ],
         # XLA's default scoped-vmem cap is 16 MB; the whole point of this
         # kernel is VMEM residency. v5e has 128 MB physical VMEM (probed:

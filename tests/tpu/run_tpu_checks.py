@@ -136,6 +136,51 @@ def check_memory_wrapper_at_scale():
     print(f"memory wrapper at scale OK: bank {n}x{d} bf16, pallas == xla argmin")
 
 
+def check_fused_chain():
+    """Compiled fused conv chain (lead→RDB→conv0) vs the XLA path on-chip."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from image_denoising_tpu.models.improved_unet import RDB
+    from image_denoising_tpu.models.layers import Conv, leaky_relu
+    from image_denoising_tpu.ops.fused_block_pallas import (
+        FusedChainWeights,
+        fused_rdb_chain,
+    )
+
+    class LevelHead(nn.Module):
+        nf: int
+
+        @nn.compact
+        def __call__(self, x):
+            x = leaky_relu(Conv(self.nf, init="torch", name="down0_conv")(x))
+            x = RDB(self.nf, name="down0_rdb")(x)
+            c0 = Conv(self.nf, use_bias=False, init="torch", name="res_c0")(x)
+            return x, c0
+
+    rng = np.random.default_rng(3)
+    m = LevelHead(nf=16)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 2)), jnp.float32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)["params"]
+    ref_rdb, ref_c0 = jax.jit(lambda p, v: m.apply({"params": p}, v))(params, x)
+    ref_rdb, ref_c0 = np.asarray(ref_rdb), np.asarray(ref_c0)
+
+    p2 = dict(params)
+    p2["res_fake"] = {
+        "conv0": {"conv": {"kernel": params["res_c0"]["conv"]["kernel"]}}
+    }
+    wts = FusedChainWeights(p2, lead="down0_conv", rdb="down0_rdb",
+                            res="res_fake")
+    out_rdb, out_c0 = jax.jit(
+        lambda v: fused_rdb_chain(v, wts, s_rows=32)
+    )(x)
+    d1 = float(np.max(np.abs(np.asarray(out_rdb) - ref_rdb)))
+    d2 = float(np.max(np.abs(np.asarray(out_c0) - ref_c0)))
+    assert d1 < 1e-2 and d2 < 1e-2, (d1, d2)
+    print(f"fused chain kernel OK: rdb diff {d1:.1e}, c0 diff {d2:.1e}")
+
+
 if __name__ == "__main__":
     import jax
 
@@ -143,4 +188,5 @@ if __name__ == "__main__":
     check_retrieval()
     check_subsampler()
     check_memory_wrapper_at_scale()
+    check_fused_chain()
     print("ALL TPU CHECKS PASSED")
