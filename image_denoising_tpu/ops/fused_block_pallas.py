@@ -335,7 +335,7 @@ def fused_rdb_chain(
         # kernel is VMEM residency. v5e has 128 MB physical VMEM (probed:
         # a 120 MB scratch compiles and runs on this chip).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x_slabs, *w_list)
