@@ -23,8 +23,9 @@ Workloads (the reference's production geometries):
   Structure loss, batch 4×352², remat, f32, fused H2D+/255+forward+backward+
   Adam; the reference's two batch-4 forwards run as ONE concatenated batch-8
   forward (sublane-aligned, semantically identical — see
-  make_structure_train_step(fused=True)); timed through a real D2H metric
-  fetch. train_mfu_pct = step FLOPs (XLA cost analysis, 4.277 TFLOP incl.
+  make_structure_train_step(fused=True)); metrics fetched lag-1 exactly like
+  the real loop (cli/train.py), every loss reaching the host by the end.
+  train_mfu_pct = step FLOPs (XLA cost analysis, 4.277 TFLOP incl.
   remat recompute) over the bf16 peak.
 
 ``vs_baseline`` fields are speedups over the PyTorch-CPU reference measured
@@ -148,11 +149,19 @@ def main():
     noisy = rng.integers(0, 256, (4, PS, PS, 1)).astype(np.uint8)
     state, m = step(state, clean, noisy)
     float(m["loss"])  # compile + fetch
-    n_steps = 4
+    # lag-1 metric fetch, like the real loop (cli/train.py): dispatch step i,
+    # then fetch step i-1's loss — host work overlaps the in-flight step
+    # instead of serializing on the device round trip (measured -27%,
+    # scripts/bench_experiments6.py). Every loss IS fetched by the end.
+    n_steps = 6
     t0 = time.perf_counter()
+    pending = None
     for _ in range(n_steps):
         state, m = step(state, clean, noisy)
-        loss = float(m["loss"])  # per-step D2H fetch, like the real loop
+        if pending is not None:
+            loss = float(pending["loss"])
+        pending = m
+    loss = float(pending["loss"])
     dt_train = time.perf_counter() - t0
     assert np.isfinite(loss)
     s_per_step = dt_train / n_steps

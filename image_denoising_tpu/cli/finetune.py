@@ -106,6 +106,19 @@ def main(argv=None):
     for epoch in range(1, opt.n_epoch + 1):
         epoch_st = time.time()
         losses = []
+        pending = None  # lag-1 metric fetch: overlap host prep with the step
+
+        def flush(p):
+            i, m = p
+            losses.append(float(m["l1"]))
+            if i % 10 == 0:
+                print(
+                    f"Epoch [{epoch}/{opt.n_epoch}] Iter [{i}] "
+                    f"L1={float(m['l1']):.6f} "
+                    f"Grad={float(m['grad']):.6f} "
+                    f"Total={float(m['loss']):.6f}"
+                )
+
         for i, (clean, noisy) in enumerate(
             train_dataset.batches(opt.batchsize, rng), start=1
         ):
@@ -117,14 +130,11 @@ def main(argv=None):
             state, metrics = step(
                 state, base_params, jnp.asarray(batch[0]), jnp.asarray(batch[1])
             )
-            losses.append(float(metrics["l1"]))
-            if i % 10 == 0:
-                print(
-                    f"Epoch [{epoch}/{opt.n_epoch}] Iter [{i}] "
-                    f"L1={float(metrics['l1']):.6f} "
-                    f"Grad={float(metrics['grad']):.6f} "
-                    f"Total={float(metrics['loss']):.6f}"
-                )
+            if pending is not None:
+                flush(pending)
+            pending = (i, metrics)
+        if pending is not None:
+            flush(pending)
 
         mean_loss = float(np.mean(losses))
         print(

@@ -119,6 +119,21 @@ def main(argv=None):
     for epoch in range(1, opt.n_epoch + 1):
         epoch_st = time.time()
         losses_l1, losses_iqsl = [], []
+        pending = None  # lag-1 metric fetch: overlap host prep with the step
+
+        def flush(p):
+            i, m = p
+            losses_l1.append(float(m["l1"]))
+            losses_iqsl.append(float(m["iqsl"]))
+            if i % 10 == 0:
+                print(
+                    f"Epoch [{epoch}/{opt.n_epoch}] Iter [{i}] "
+                    f"L1={float(m['l1']):.6f} "
+                    f"Grad={float(m['grad']):.6f} "
+                    f"IQSL={float(m['iqsl']):.6f} "
+                    f"Total={float(m['loss']):.6f}"
+                )
+
         for i, (clean, noisy) in enumerate(
             train_dataset.batches(opt.batchsize, rng), start=1
         ):
@@ -130,16 +145,11 @@ def main(argv=None):
             state, metrics = step(
                 state, base_params, jnp.asarray(batch[0]), jnp.asarray(batch[1])
             )
-            losses_l1.append(float(metrics["l1"]))
-            losses_iqsl.append(float(metrics["iqsl"]))
-            if i % 10 == 0:
-                print(
-                    f"Epoch [{epoch}/{opt.n_epoch}] Iter [{i}] "
-                    f"L1={float(metrics['l1']):.6f} "
-                    f"Grad={float(metrics['grad']):.6f} "
-                    f"IQSL={float(metrics['iqsl']):.6f} "
-                    f"Total={float(metrics['loss']):.6f}"
-                )
+            if pending is not None:
+                flush(pending)
+            pending = (i, metrics)
+        if pending is not None:
+            flush(pending)
 
         print(
             f"End of epoch {epoch}, mean L1={np.mean(losses_l1):.6f}, "

@@ -152,6 +152,21 @@ def main(argv=None):
     # as an ARGUMENT, not a baked closure constant (a fresh jit per epoch
     # would recompile the full-frame program every snapshot)
     val_fwd = jax.jit(lambda p, x: network.apply({"params": p}, x))
+
+    def flush_metrics(p):
+        # reference log format: Loss1 = plain L1(net(noisy), clean)
+        # (train.py:369-373); the n2n path reports its rec term instead.
+        # The epoch mean + A_log.csv record the L1 component, not the full
+        # structure loss (train.py:365-377,434).
+        ep, i, st0, m = p
+        loss = float(m["loss"])
+        l1_part = float(m.get("l1", m.get("loss_rec", loss)))
+        losses.append(l1_part)
+        print(
+            f"{ep:04d} {i:05d} Loss1={l1_part:.6f}, "
+            f"Loss_Full={loss:.6f}, Time={time.time() - st0:.4f}"
+        )
+
     for epoch in range(opt.start_epoch, opt.n_epoch + 1):
         epoch_st = time.time()
         lr = multistep_lr(opt.lr, milestones, opt.gamma, epoch)
@@ -159,6 +174,7 @@ def main(argv=None):
         print(f"LearningRate of Epoch {epoch} = {lr}")
 
         losses = []
+        pending = None
         for it, (clean, noisy) in enumerate(
             dataset.batches(opt.batchsize, rng, shuffle=True, drop_last=True)
         ):
@@ -182,17 +198,16 @@ def main(argv=None):
                     state, batch[0], batch[1], opkeys.next(),
                     jnp.asarray(epoch, jnp.int32),
                 )
-            loss = float(metrics["loss"])
-            # reference log format: Loss1 = plain L1(net(noisy), clean)
-            # (train.py:369-373); the n2n path reports its rec term instead
-            l1_part = float(metrics.get("l1", metrics.get("loss_rec", loss)))
-            # the reference's epoch mean + A_log.csv record the L1 component,
-            # not the full structure loss (train.py:365-377,434)
-            losses.append(l1_part)
-            print(
-                f"{epoch:04d} {it:05d} Loss1={l1_part:.6f}, "
-                f"Loss_Full={loss:.6f}, Time={time.time() - st:.4f}"
-            )
+            # lag-1 pipelined logging: fetch the PREVIOUS step's metrics
+            # only after dispatching this one, so host batch prep + H2D
+            # overlap the in-flight device step (a synchronous per-step
+            # fetch serializes the loop on the device round trip). Same
+            # log lines, emitted one iteration later.
+            if pending is not None:
+                flush_metrics(pending)
+            pending = (epoch, it, st, metrics)
+        if pending is not None:
+            flush_metrics(pending)
 
         if profiling:
             jax.profiler.stop_trace()
