@@ -31,7 +31,7 @@ def fixture_dataset(tmp_path_factory):
     return str(root)
 
 
-def test_train_and_eval_cli(fixture_dataset, tmp_path):
+def test_train_and_eval_cli(fixture_dataset, tmp_path, capsys):
     from image_denoising_tpu.cli import train as train_cli
 
     save_root = str(tmp_path / "results")
@@ -45,12 +45,33 @@ def test_train_and_eval_cli(fixture_dataset, tmp_path):
         "--batchsize", "2",
         "--n_snapshot", "2",
     ])
+    # the lag-1 pipelined loop must still log EVERY iteration, in order:
+    # 3 imgs / batch 2 with drop_last => 1 iter/epoch x 2 epochs
+    import re
+
+    out = capsys.readouterr().out
+    iters = re.findall(
+        r"^(\d{4}) (\d{5}) Loss1=([\d.]+), Loss_Full=([\d.]+)", out, re.M)
+    assert [(int(e), int(i)) for e, i, _, _ in iters] == [(1, 0), (2, 0)], iters
+    assert all(np.isfinite(float(l)) for _, _, l, _ in iters)
     # find checkpoint
     ckpts = []
     for dirpath, _, files in os.walk(save_root):
         ckpts += [os.path.join(dirpath, f) for f in files if f.endswith(".ckpt")]
     assert any("epoch_model_002" in c for c in ckpts)
     ckpt = [c for c in ckpts if "epoch_model_002" in c][0]
+
+    # A_log.csv (snapshot epoch 2) records the epoch mean of the logged
+    # Loss1 values — the lag-1 flush must feed the mean before it is written
+    alogs = []
+    for dirpath, _, files in os.walk(save_root):
+        alogs += [os.path.join(dirpath, f) for f in files if f == "A_log.csv"]
+    assert len(alogs) == 1, alogs
+    rows = open(alogs[0]).read().strip().splitlines()
+    assert len(rows) == 1 and rows[0].startswith("epoch2, loss_"), rows
+    logged_mean = float(rows[0].split("loss_")[1].split(",")[0])
+    ep2 = [float(l) for e, _, l, _ in iters if int(e) == 2]
+    assert abs(logged_mean - np.mean(ep2)) < 1e-6, (logged_mean, ep2)
 
     # whole-frame eval
     from image_denoising_tpu.cli import evaluation as eval_cli
