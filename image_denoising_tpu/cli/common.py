@@ -168,13 +168,18 @@ def batched_frame_forward(fwd, params, frames, parallel: bool = False):
 
 
 def save_png(arr: np.ndarray, path: str, mode: str = "RGB") -> None:
-    """uint8 array → PNG with PIL convert semantics (reference saves RGB/L)."""
+    """uint8 array → PNG with PIL convert semantics (reference saves RGB/L).
+
+    compress_level=1: lossless either way (pixels identical to the default
+    level 6), ~2-3× faster to encode — on this 1-core host PNG encoding is
+    a measurable slice of eval wall time (docs/PERF.md §9).
+    """
     from PIL import Image
 
     img = Image.fromarray(arr)
     if mode:
         img = img.convert(mode)
-    img.save(path)
+    img.save(path, compress_level=1)
 
 
 class MetricsWriter:

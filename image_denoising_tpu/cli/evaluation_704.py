@@ -95,10 +95,15 @@ def evaluate(opt):
         jax.profiler.start_trace(opt.profile_dir)
         profiling = True
 
-    # --frame_burst: denoise N same-shape frames per dispatch, two bursts in
-    # flight so transfers overlap compute (the bench pipeline shape). With
-    # --parallel the burst's flattened tile stack shards over the mesh.
+    # --frame_burst: denoise N same-shape frames per dispatch, up to three
+    # bursts in flight so transfers overlap compute (the bench pipeline
+    # shape). With --parallel the burst's flattened tile stack shards over
+    # the mesh. The burst stream is LAZY: the metrics loop below pulls
+    # drained frames on demand, so host-side SSIM/PNG work for early frames
+    # overlaps device compute of later bursts instead of serializing after
+    # it (one CPU core makes the metrics pass comparable to denoise time).
     pred_cache: dict = {}
+    burst_stream = None
     if getattr(opt, "frame_burst", 0) and opt.frame_burst > 1:
         import jax.numpy as jnp
 
@@ -112,26 +117,30 @@ def evaluate(opt):
                 f"{np.shape(nz)}"
             )
             by_shape.setdefault(np.shape(nz), []).append(j)
-        for (h, w), idxs in sorted(by_shape.items()):
-            runner = make_tiled_pyramid_runner_frames(
-                fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
-                out_dtype="uint8_floor", mesh=mesh,
-            )
-            inflight = []
-            for s in range(0, len(idxs), fb):
-                chunk = idxs[s : s + fb]
-                batchf = np.stack(
-                    [np.asarray(noisy_imgs[j], np.uint8) for j in chunk]
+
+        def _bursts():
+            for (h, w), idxs in sorted(by_shape.items()):
+                runner = make_tiled_pyramid_runner_frames(
+                    fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
+                    out_dtype="uint8_floor", mesh=mesh,
                 )
-                if len(chunk) < fb:  # pad tail by repeating the last frame
-                    batchf = np.concatenate(
-                        [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                inflight = []
+                for s in range(0, len(idxs), fb):
+                    chunk = idxs[s : s + fb]
+                    batchf = np.stack(
+                        [np.asarray(noisy_imgs[j], np.uint8) for j in chunk]
                     )
-                inflight.append((chunk, runner(jnp.asarray(batchf))))
-                if len(inflight) > 2:
-                    _drain_burst(inflight.pop(0), pred_cache)
-            while inflight:
-                _drain_burst(inflight.pop(0), pred_cache)
+                    if len(chunk) < fb:  # pad tail by repeating the last frame
+                        batchf = np.concatenate(
+                            [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                        )
+                    inflight.append((chunk, runner(jnp.asarray(batchf))))
+                    if len(inflight) > 2:
+                        yield inflight.pop(0)
+                while inflight:
+                    yield inflight.pop(0)
+
+        burst_stream = _bursts()
 
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
@@ -141,7 +150,9 @@ def evaluate(opt):
         clean_u8 = np.asarray(clean).astype(np.uint8)
         noisy_u8 = np.asarray(noisy).astype(np.uint8)
 
-        if i in pred_cache:
+        if burst_stream is not None:
+            while i not in pred_cache:
+                _drain_burst(next(burst_stream), pred_cache)
             pred255, l1_val = pred_cache.pop(i)
         else:
             # uint8 quantization (reference: clip(p·255), NO +0.5) on device

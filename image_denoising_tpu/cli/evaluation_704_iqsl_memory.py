@@ -133,9 +133,12 @@ def main(argv=None):
         )
 
     # --frame_burst: N same-shape frames per dispatch through the Hann frames
-    # runner, two bursts in flight so H2D/D2H overlap compute (the fix for E6
-    # running at half the pyramid engine's throughput — VERDICT r2 weak #3).
+    # runner, up to three bursts in flight so H2D/D2H overlap compute (the
+    # fix for E6 running at half the pyramid engine's throughput — VERDICT
+    # r2 weak #3). Lazy stream: the metrics loop pulls drained frames on
+    # demand so host-side PSNR/IoU/PNG work overlaps in-flight device bursts.
     pred_cache: dict = {}
+    burst_stream = None
     if opt.frame_burst and opt.frame_burst > 1:
         import jax.numpy as jnp
 
@@ -160,34 +163,40 @@ def main(argv=None):
             for k, j in enumerate(chunk):
                 pred_cache[j] = out[k]
 
-        for (h, w), idxs in sorted(by_shape.items()):
-            runner = make_tiled_hann_runner_frames(
-                model_call, fb, h, w, ps=opt.patch_size, overlap=opt.overlap,
-                batch=tile_batch, out_dtype="uint8_round", mesh=mesh,
-            )
-            inflight = []
-            for s in range(0, len(idxs), fb):
-                chunk = idxs[s : s + fb]
-                batchf = np.stack(
-                    [np.asarray(noisy_imgs[j], np.uint8).reshape(h, w)
-                     for j in chunk]
+        def _bursts():
+            for (h, w), idxs in sorted(by_shape.items()):
+                runner = make_tiled_hann_runner_frames(
+                    model_call, fb, h, w, ps=opt.patch_size,
+                    overlap=opt.overlap, batch=tile_batch,
+                    out_dtype="uint8_round", mesh=mesh,
                 )
-                if len(chunk) < fb:  # pad tail by repeating the last frame
-                    batchf = np.concatenate(
-                        [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                inflight = []
+                for s in range(0, len(idxs), fb):
+                    chunk = idxs[s : s + fb]
+                    batchf = np.stack(
+                        [np.asarray(noisy_imgs[j], np.uint8).reshape(h, w)
+                         for j in chunk]
                     )
-                inflight.append((chunk, runner(jnp.asarray(batchf), *extra)))
-                if len(inflight) > 2:
-                    _drain(inflight.pop(0))
-            while inflight:
-                _drain(inflight.pop(0))
+                    if len(chunk) < fb:  # pad tail by repeating the last frame
+                        batchf = np.concatenate(
+                            [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                        )
+                    inflight.append((chunk, runner(jnp.asarray(batchf), *extra)))
+                    if len(inflight) > 2:
+                        yield inflight.pop(0)
+                while inflight:
+                    yield inflight.pop(0)
+
+        burst_stream = _bursts()
 
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
         noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
         clean255 = np.asarray(clean).astype(np.uint8)
 
-        if i in pred_cache:
+        if burst_stream is not None:
+            while i not in pred_cache:
+                _drain(next(burst_stream))
             pred255 = pred_cache.pop(i)
         else:
             # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device

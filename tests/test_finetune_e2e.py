@@ -132,20 +132,37 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
     adapter_ckpt = os.path.join(save_root, "ft_mem_test", "epoch_adapter_only_001.ckpt")
     assert os.path.exists(adapter_ckpt)
 
-    avg = evaluation_704_iqsl_memory.main([
+    eval_args = [
         "--data_dir", fixture_dataset,
         "--base_ckpt", base_ckpt,
         "--adapter_ckpt", adapter_ckpt,
         "--arch", "UNetImproved",
-        "--save_dir", str(tmp_path / "eval_mem"),
         "--n_feature", "16",
         "--patch_size", "32",
         "--overlap", "16",
         "--num_memory_images", "2",
         "--memory_stride", "16",
         "--compute_iq_iou",
-    ])
+    ]
+    avg = evaluation_704_iqsl_memory.main(
+        eval_args + ["--save_dir", str(tmp_path / "eval_mem")])
     assert avg["psnr"] > 5.0 and "iou_dark" in avg
+
+    # the lazily-drained --frame_burst CLI path (burst 2 over 3 frames, so a
+    # padded tail burst) must reproduce the single-frame path byte-for-byte
+    # at the same tile chunking
+    avg_fb = evaluation_704_iqsl_memory.main(
+        eval_args + ["--save_dir", str(tmp_path / "eval_mem_fb"),
+                     "--frame_burst", "2"])
+    for k in avg:
+        np.testing.assert_allclose(avg_fb[k], avg[k], rtol=1e-6, err_msg=k)
+    from PIL import Image
+
+    for f in sorted(os.listdir(tmp_path / "eval_mem")):
+        if f.endswith(".png"):
+            a = np.asarray(Image.open(tmp_path / "eval_mem" / f))
+            b = np.asarray(Image.open(tmp_path / "eval_mem_fb" / f))
+            assert np.array_equal(a, b), f
 
 
 def test_finetune_memory_bf16_cli(fixture_dataset, base_ckpt, tmp_path):
