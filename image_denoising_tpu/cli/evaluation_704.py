@@ -41,6 +41,14 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler device trace of the "
                              "denoise loop to this directory")
+    parser.add_argument("--save_images", type=str, default="all",
+                        choices=["all", "denoised", "none"],
+                        help="which PNGs to write per frame. 'all' mirrors "
+                             "the reference (noisy + clean + denoised — the "
+                             "first two are copies of the inputs); 'denoised' "
+                             "skips the input copies; 'none' computes metrics "
+                             "only. PNG encode is a large share of eval wall "
+                             "time on a 1-core host (docs/PERF.md §9).")
     # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
@@ -161,9 +169,12 @@ def evaluate(opt):
                 batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
             )
 
-        save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
-        save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)
-        save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"), mode=None)
+        save_mode = getattr(opt, "save_images", "all")
+        if save_mode == "all":
+            save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
+            save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)
+        if save_mode != "none":
+            save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"), mode=None)
 
         psnr_val = calculate_psnr(pred255, clean_u8, zero_mse_psnr=None)
         ssim_val = calculate_ssim(pred255, clean_u8)

@@ -105,6 +105,24 @@ def test_train_and_eval_cli(fixture_dataset, tmp_path, capsys):
     text = open(os.path.join(save_dir2, "metrics.txt")).read()
     assert "Average 3-class IoU" in text
 
+    # --save_images denoised: identical metrics, only denoised PNGs written
+    save_dir3 = str(tmp_path / "eval704_denoised_only")
+    avg3 = eval704.main([
+        "--data_dir", fixture_dataset,
+        "--checkpoint", ckpt,
+        "--save_dir", save_dir3,
+        "--n_feature", "16",
+        "--log_name", "UNetImproved_test",
+        "--tile", "32",
+        "--overlap", "16",
+        "--compute_iq_iou",
+        "--save_images", "denoised",
+    ])
+    for k in avg2:
+        assert abs(avg3[k] - avg2[k]) < 1e-12, k
+    pngs = [f for f in os.listdir(save_dir3) if f.endswith(".png")]
+    assert pngs and all("denoised" in f for f in pngs), pngs
+
 
 def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
     """--frame_burst (burst-pipelined frames, the bench pipeline shape) must
