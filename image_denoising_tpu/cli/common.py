@@ -48,10 +48,10 @@ __all__ = [
 ]
 
 
-def add_dtype_flag(parser) -> None:
+def add_dtype_flag(parser, default: str = "float32") -> None:
     """--dtype: compute dtype for the model (params always stay float32)."""
     parser.add_argument(
-        "--dtype", type=str, default="float32",
+        "--dtype", type=str, default=default,
         choices=["float32", "bfloat16"],
         help="compute dtype: bfloat16 engages the MXU's native precision "
              "(+20-40%% throughput; agrees with float32 within 49 dB / "

@@ -1,0 +1,162 @@
+"""Pure-inference tiled denoising CLI — the production serving entry point.
+
+Extension beyond the reference: every reference tiled pipeline
+(``evaluation_704*.py``) loads paired ``clean/`` + ``noise/`` directories
+because it computes metrics; there is no way to denoise NEW frames with the
+production tiled geometry. This CLI runs the same pyramid-blend pipeline
+(352-px tiles, 64-px overlap, one fused device program per frame burst —
+geometry ``evaluation_704.py:57-115``) over a flat directory of noisy
+frames and writes denoised PNGs, nothing else.
+
+Defaults are the TPU production preset (``scripts/eval_704_tpu_fast.sh``):
+bf16 compute, 8-frame bursts with up to three in flight, sublane-filling
+8-tile scan chunks — docs/PERF.md §3. ``--dtype float32 --tile_batch -1``
+reproduces the reference-exact numerics; ``--rounding floor`` (default)
+matches ``evaluation_704.py``'s ``clip(p·255)`` uint8 convention
+byte-for-byte, ``round`` applies the +0.5 convention of ``evaluation.py:83``.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_dir", type=str, required=True,
+                        help="directory of noisy frames (every image in it "
+                             "is denoised; grayscale, like the SEM data)")
+    parser.add_argument("--save_dir", type=str, default="./denoised")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--n_feature", type=int, default=48)
+    parser.add_argument("--n_channel", type=int, default=1)
+    parser.add_argument("--log_name", type=str, default="UNetImproved")
+    parser.add_argument("--arch", type=str, default=None)
+    parser.add_argument("--parallel", action="store_true",
+                        help="shard the tile batch over all devices in the mesh")
+    parser.add_argument("--tile", type=int, default=352)
+    parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument("--tile_batch", type=int, default=-8,
+                        help="-8 = sublane-filling lax.map chunks (fastest); "
+                             "0 = all tiles in one batch; -1 = per-tile scan")
+    parser.add_argument("--frame_burst", type=int, default=8,
+                        help="frames per device dispatch (0/1 = one at a time)")
+    parser.add_argument("--rounding", type=str, default="floor",
+                        choices=["floor", "round"],
+                        help="uint8 quantization: floor = evaluation_704's "
+                             "clip(p*255); round = evaluation.py's +0.5")
+    parser.add_argument("--suffix", type=str, default="_denoised")
+    from .common import add_dtype_flag
+
+    add_dtype_flag(parser, default="bfloat16")
+    return parser.parse_args(argv)
+
+
+def run(opt):
+    from ..data import load_image_f32
+    from ..eval import denoise_tiled_pyramid
+    from .common import (build_network, jitted_apply, load_params,
+                         resolve_dtype, save_png)
+
+    os.makedirs(opt.save_dir, exist_ok=True)
+    paths = sorted(
+        p for p in glob.glob(os.path.join(opt.input_dir, "*"))
+        if os.path.isfile(p)
+    )
+    if not paths:
+        raise SystemExit(f"no frames found in {opt.input_dir}")
+
+    network = build_network(opt.arch, opt.log_name, opt.n_channel,
+                            opt.n_feature, dtype=resolve_dtype(opt.dtype))
+    params = load_params(opt.checkpoint, network)
+    fwd = jitted_apply(network, params)
+    print(f"Loaded checkpoint from {opt.checkpoint}; "
+          f"denoising {len(paths)} frames from {opt.input_dir}")
+
+    mesh = None
+    tile_batch = opt.tile_batch
+    if opt.parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        if tile_batch < 0:
+            tile_batch = 0
+        print(f"tile-parallel over {mesh.devices.size} devices")
+
+    out_dtype = "uint8_floor" if opt.rounding == "floor" else "uint8_round"
+
+    def out_path(p):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        return os.path.join(opt.save_dir, f"{stem}{opt.suffix}.png")
+
+    frames = {}
+    for j, p in enumerate(paths):
+        arr = load_image_f32(p)
+        assert arr.ndim == 2, (
+            f"tiled pyramid denoising is single-channel: {p} has shape "
+            f"{arr.shape}"
+        )
+        frames[j] = arr.astype(np.uint8)
+
+    n_done = 0
+    if opt.frame_burst and opt.frame_burst > 1:
+        import jax.numpy as jnp
+
+        from ..eval.tiled import make_tiled_pyramid_runner_frames
+
+        fb = opt.frame_burst
+        by_shape: dict = {}
+        for j, arr in frames.items():
+            by_shape.setdefault(arr.shape, []).append(j)
+
+        # lazy burst stream (same discipline as evaluation_704): PNG encode
+        # for finished frames overlaps device work on in-flight bursts
+        def _bursts():
+            for (h, w), idxs in sorted(by_shape.items()):
+                runner = make_tiled_pyramid_runner_frames(
+                    fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
+                    out_dtype=out_dtype, mesh=mesh,
+                )
+                inflight = []
+                for s in range(0, len(idxs), fb):
+                    chunk = idxs[s : s + fb]
+                    batchf = np.stack([frames[j] for j in chunk])
+                    if len(chunk) < fb:
+                        batchf = np.concatenate(
+                            [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                        )
+                    inflight.append((chunk, runner(jnp.asarray(batchf))))
+                    if len(inflight) > 2:
+                        yield inflight.pop(0)
+                while inflight:
+                    yield inflight.pop(0)
+
+        for chunk, (out_dev, _l1) in _bursts():
+            out = np.asarray(out_dev)
+            for k, j in enumerate(chunk):
+                save_png(out[k], out_path(paths[j]), mode=None)
+                n_done += 1
+                print(f"[{n_done}/{len(paths)}] {os.path.basename(paths[j])}")
+    else:
+        for j, p in enumerate(paths):
+            pred255, _l1 = denoise_tiled_pyramid(
+                fwd, frames[j], ps=opt.tile, overlap=opt.overlap,
+                batch=tile_batch, out_dtype=out_dtype, mesh=mesh,
+            )
+            save_png(pred255, out_path(p), mode=None)
+            n_done += 1
+            print(f"[{n_done}/{len(paths)}] {os.path.basename(p)}")
+
+    print(f"Wrote {n_done} denoised frames to {opt.save_dir}")
+    return n_done
+
+
+def main(argv=None):
+    return run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

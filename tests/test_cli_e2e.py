@@ -124,6 +124,60 @@ def test_train_and_eval_cli(fixture_dataset, tmp_path, capsys):
     assert pngs and all("denoised" in f for f in pngs), pngs
 
 
+def test_denoise_cli_matches_eval704(fixture_dataset, tmp_path):
+    """The pure-inference serving CLI (cli/denoise.py, no clean/ dir needed)
+    must write byte-identical denoised PNGs to evaluation_704 at matched
+    settings — both the burst path (with a padded tail: 3 frames, burst 2)
+    and the single-frame fallback."""
+    from image_denoising_tpu.cli import denoise as denoise_cli
+    from image_denoising_tpu.cli import evaluation_704 as eval704
+    from image_denoising_tpu.cli import train as train_cli
+    from PIL import Image
+
+    save_root = str(tmp_path / "results")
+    train_cli.main([
+        "--data_dir", fixture_dataset, "--save_model_path", save_root,
+        "--log_name", "UNetImproved_dn", "--n_feature", "8",
+        "--n_epoch", "1", "--batchsize", "2", "--max_steps_per_epoch", "1",
+    ])
+    ckpts = []
+    for dirpath, _, files in os.walk(save_root):
+        ckpts += [os.path.join(dirpath, f) for f in files
+                  if f.endswith("epoch_model_001.ckpt")]
+
+    eval_dir = str(tmp_path / "eval")
+    eval704.main([
+        "--data_dir", fixture_dataset, "--checkpoint", ckpts[0],
+        "--n_feature", "8", "--log_name", "UNetImproved_dn",
+        "--tile", "32", "--overlap", "16", "--save_dir", eval_dir,
+        "--save_images", "denoised",
+    ])
+    ref = {}
+    for f in sorted(os.listdir(eval_dir)):
+        if f.endswith("_denoised.png"):
+            # evaluation_704 names "<stem>_<idx>_denoised.png"
+            stem = f.rsplit("_", 2)[0]
+            ref[stem] = np.asarray(Image.open(os.path.join(eval_dir, f)))
+    assert len(ref) == 3
+
+    noise_dir = os.path.join(fixture_dataset, "noise")
+    for mode, extra in (("burst2", ["--frame_burst", "2"]),
+                        ("single", ["--frame_burst", "0"])):
+        out_dir = str(tmp_path / f"dn_{mode}")
+        n = denoise_cli.main([
+            "--input_dir", noise_dir, "--save_dir", out_dir,
+            "--checkpoint", ckpts[0], "--n_feature", "8",
+            "--log_name", "UNetImproved_dn", "--tile", "32",
+            "--overlap", "16", "--dtype", "float32",
+            "--tile_batch", "-1",
+        ] + extra)
+        assert n == 3
+        for stem, want in ref.items():
+            got = np.asarray(Image.open(
+                os.path.join(out_dir, f"{stem}_denoised.png")))
+            assert np.array_equal(got, want), (mode, stem)
+
+
 def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
     """--frame_burst (burst-pipelined frames, the bench pipeline shape) must
     be byte-identical to the reference frame-by-frame path, including the
