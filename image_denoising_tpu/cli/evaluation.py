@@ -26,6 +26,10 @@ def parse_args(argv=None):
                         help="explicit architecture (overrides log_name dispatch)")
     parser.add_argument("--gpu_devices", default="0", type=str,
                         help="accepted for reference compatibility; unused on TPU")
+    parser.add_argument("--save_images", type=str, default="all",
+                        choices=["all", "denoised", "none"],
+                        help="which PNGs to write per frame ('all' mirrors "
+                             "the reference; see docs/PERF.md §9)")
     from .common import add_dtype_flag
 
     add_dtype_flag(parser)
@@ -67,9 +71,12 @@ def evaluate(opt):
         clean255 = np.asarray(clean).astype(np.uint8)
         noisy255 = noisy_f.astype(np.uint8)
 
-        save_png(noisy255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"))
-        save_png(clean255, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"))
-        save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"))
+        save_mode = getattr(opt, "save_images", "all")
+        if save_mode == "all":
+            save_png(noisy255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"))
+            save_png(clean255, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"))
+        if save_mode != "none":
+            save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"))
 
         psnr_val = calculate_psnr(pred255, clean255, zero_mse_psnr=None)
         ssim_val = calculate_ssim(pred255, clean255)
