@@ -94,12 +94,13 @@ def main():
         "--bank_dtype", "bfloat16",
         "--pallas_retrieval",
         "--dtype", "bfloat16",
+        "--frame_burst", "4",  # round-3 burst mode (PERF §7: best at 4)
     ])
     wall = time.perf_counter() - t0
     print(json.dumps({
         "kind": "memory_production", "psnr": round(avg.get("psnr", 0), 2),
         "wall_s": round(wall, 1), "frames": 5,
-        "config": "patch128/overlap64/5imgs/stride4/bf16bank/pallas",
+        "config": "patch128/overlap64/5imgs/stride4/bf16bank/pallas/burst4",
     }))
 
 

@@ -161,8 +161,12 @@ def test_denoise_cli_matches_eval704(fixture_dataset, tmp_path):
     assert len(ref) == 3
 
     noise_dir = os.path.join(fixture_dataset, "noise")
-    for mode, extra in (("burst2", ["--frame_burst", "2"]),
-                        ("single", ["--frame_burst", "0"])):
+    # --parallel shards the burst's tile stack over the mesh: conv batch
+    # sizes differ from the -1 scan, so low-order float bits can move a
+    # blended pixel across a uint8 boundary (atol 1, like the pburst test)
+    for mode, extra, atol in (("burst2", ["--frame_burst", "2"], 0),
+                              ("single", ["--frame_burst", "0"], 0),
+                              ("pburst", ["--frame_burst", "2", "--parallel"], 1)):
         out_dir = str(tmp_path / f"dn_{mode}")
         n = denoise_cli.main([
             "--input_dir", noise_dir, "--save_dir", out_dir,
@@ -175,7 +179,11 @@ def test_denoise_cli_matches_eval704(fixture_dataset, tmp_path):
         for stem, want in ref.items():
             got = np.asarray(Image.open(
                 os.path.join(out_dir, f"{stem}_denoised.png")))
-            assert np.array_equal(got, want), (mode, stem)
+            if atol == 0:
+                assert np.array_equal(got, want), (mode, stem)
+            else:
+                diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+                assert diff.max() <= atol, (mode, stem, diff.max())
 
 
 def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
