@@ -49,6 +49,14 @@ def parse_args(argv=None):
                              "skips the input copies; 'none' computes metrics "
                              "only. PNG encode is a large share of eval wall "
                              "time on a 1-core host (docs/PERF.md §9).")
+    parser.add_argument("--device_metrics", action="store_true",
+                        help="score PSNR/SSIM on the TPU instead of the host "
+                             "(float32 ssim_jax, ~1e-6 from the host float64 "
+                             "MATLAB-SSIM; PSNR identical). Predictions stay "
+                             "device-resident, so with --save_images none the "
+                             "per-frame D2H is three scalars — removes the "
+                             "1-core host metrics bottleneck (PERF §9). "
+                             "Implies the burst pipeline (frame_burst >= 1).")
     # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
@@ -59,13 +67,23 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _drain_burst(item, cache):
-    """Fetch one in-flight burst's outputs to the host cache."""
-    chunk, (out_dev, l1_dev) = item
-    out = np.asarray(out_dev)
+def _drain_burst(item, cache, fetch_pred: bool = True):
+    """Fetch one in-flight burst's outputs to the host cache.
+
+    Entries are ``(pred_or_None, l1, device_metrics_or_None)`` where
+    device_metrics is ``(psnr, ssim)``. With --device_metrics and
+    --save_images none the prediction itself is never fetched
+    (``fetch_pred=False``) — the D2H per frame is three scalars."""
+    chunk, (out_dev, l1_dev), m_dev = item
+    out = np.asarray(out_dev) if fetch_pred else None
     l1 = np.asarray(l1_dev)
+    m = None
+    if m_dev is not None:
+        m = (np.asarray(m_dev[0]), np.asarray(m_dev[1]))
     for k, j in enumerate(chunk):
-        cache[j] = (out[k], float(l1[k]))
+        pred = out[k] if out is not None else None
+        dm = (float(m[0][k]), float(m[1][k])) if m is not None else None
+        cache[j] = (pred, float(l1[k]), dm)
 
 
 def evaluate(opt):
@@ -112,18 +130,34 @@ def evaluate(opt):
     # it (one CPU core makes the metrics pass comparable to denoise time).
     pred_cache: dict = {}
     burst_stream = None
-    if getattr(opt, "frame_burst", 0) and opt.frame_burst > 1:
+    device_metrics = bool(getattr(opt, "device_metrics", False))
+    save_mode = getattr(opt, "save_images", "all")
+    # --device_metrics needs device-resident predictions → burst pipeline
+    # (a 1-frame burst still avoids the fetch/re-upload round trip)
+    fetch_pred = (not device_metrics) or save_mode != "none" or opt.compute_iq_iou
+    if (getattr(opt, "frame_burst", 0) and opt.frame_burst > 1) or device_metrics:
         import jax.numpy as jnp
 
         from ..eval.tiled import make_tiled_pyramid_runner_frames
 
-        fb = opt.frame_burst
+        fb = max(int(getattr(opt, "frame_burst", 0) or 0), 1)
+        metrics_fn = None
+        if device_metrics:
+            from ..metrics import make_device_metrics
+
+            metrics_fn = make_device_metrics()
         by_shape: dict = {}
         for j, nz in enumerate(noisy_imgs):
             assert np.ndim(nz) == 2, (
                 f"tiled pyramid eval is single-channel: frame {j} has shape "
                 f"{np.shape(nz)}"
             )
+            if device_metrics:
+                assert np.shape(clean_imgs[j]) == np.shape(nz), (
+                    f"--device_metrics scores on device per shape bucket: "
+                    f"clean/noisy shapes differ for frame {j} "
+                    f"({np.shape(clean_imgs[j])} vs {np.shape(nz)})"
+                )
             by_shape.setdefault(np.shape(nz), []).append(j)
 
         def _bursts():
@@ -142,7 +176,18 @@ def evaluate(opt):
                         batchf = np.concatenate(
                             [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
                         )
-                    inflight.append((chunk, runner(jnp.asarray(batchf))))
+                    out = runner(jnp.asarray(batchf))
+                    m_out = None
+                    if metrics_fn is not None:
+                        cleanf = np.stack(
+                            [np.asarray(clean_imgs[j], np.uint8) for j in chunk]
+                        )
+                        if len(chunk) < fb:
+                            cleanf = np.concatenate(
+                                [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
+                            )
+                        m_out = metrics_fn(out[0], jnp.asarray(cleanf))
+                    inflight.append((chunk, out, m_out))
                     if len(inflight) > 2:
                         yield inflight.pop(0)
                 while inflight:
@@ -158,10 +203,11 @@ def evaluate(opt):
         clean_u8 = np.asarray(clean).astype(np.uint8)
         noisy_u8 = np.asarray(noisy).astype(np.uint8)
 
+        dev_m = None
         if burst_stream is not None:
             while i not in pred_cache:
-                _drain_burst(next(burst_stream), pred_cache)
-            pred255, l1_val = pred_cache.pop(i)
+                _drain_burst(next(burst_stream), pred_cache, fetch_pred)
+            pred255, l1_val, dev_m = pred_cache.pop(i)
         else:
             # uint8 quantization (reference: clip(p·255), NO +0.5) on device
             pred255, l1_val = denoise_tiled_pyramid(
@@ -169,15 +215,17 @@ def evaluate(opt):
                 batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
             )
 
-        save_mode = getattr(opt, "save_images", "all")
         if save_mode == "all":
             save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
             save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)
         if save_mode != "none":
             save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"), mode=None)
 
-        psnr_val = calculate_psnr(pred255, clean_u8, zero_mse_psnr=None)
-        ssim_val = calculate_ssim(pred255, clean_u8)
+        if dev_m is not None:
+            psnr_val, ssim_val = dev_m
+        else:
+            psnr_val = calculate_psnr(pred255, clean_u8, zero_mse_psnr=None)
+            ssim_val = calculate_ssim(pred255, clean_u8)
         ious = None
         msg = (
             f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> "

@@ -237,6 +237,60 @@ def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
                     assert diff.max() <= atol, (mode, f, diff.max())
 
 
+def test_eval_device_metrics_matches_host(fixture_dataset, tmp_path):
+    """--device_metrics scores PSNR/SSIM on device (f32 ssim_jax) and must
+    match the host float64 MATLAB-SSIM pass to ~1e-5 and host-f32 PSNR to
+    ~1e-3 (summation order); with --save_images none predictions are never
+    fetched and no PNGs are written."""
+    from image_denoising_tpu.cli import evaluation_704 as eval704
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path / "results")
+    train_cli.main([
+        "--data_dir", fixture_dataset, "--save_model_path", save_root,
+        "--log_name", "UNetImproved_dm", "--n_feature", "8",
+        "--n_epoch", "1", "--batchsize", "2", "--max_steps_per_epoch", "1",
+    ])
+    ckpts = []
+    for dirpath, _, files in os.walk(save_root):
+        ckpts += [os.path.join(dirpath, f) for f in files
+                  if f.endswith("epoch_model_001.ckpt")]
+    args = [
+        "--data_dir", fixture_dataset, "--checkpoint", ckpts[0],
+        "--n_feature", "8", "--log_name", "UNetImproved_dm",
+        "--tile", "32", "--overlap", "16",
+    ]
+    host_dir = str(tmp_path / "host")
+    avg_host = eval704.main(args + ["--save_dir", host_dir])
+
+    # burst-2 device metrics, PNGs still written (byte-identical preds)
+    dm_dir = str(tmp_path / "dm")
+    avg_dm = eval704.main(
+        args + ["--save_dir", dm_dir, "--frame_burst", "2", "--device_metrics"]
+    )
+    assert abs(avg_dm["psnr"] - avg_host["psnr"]) < 1e-3
+    assert abs(avg_dm["ssim"] - avg_host["ssim"]) < 1e-5
+    np.testing.assert_allclose(avg_dm["l1"], avg_host["l1"], rtol=1e-6)
+    from PIL import Image
+
+    for f in sorted(os.listdir(host_dir)):
+        if f.endswith(".png"):
+            a = np.asarray(Image.open(os.path.join(host_dir, f)))
+            b = np.asarray(Image.open(os.path.join(dm_dir, f)))
+            assert np.array_equal(a, b), f
+
+    # metric-only mode: no frame_burst given (forced to 1-frame bursts),
+    # predictions never fetched, zero PNGs
+    none_dir = str(tmp_path / "dm_none")
+    avg_none = eval704.main(
+        args + ["--save_dir", none_dir, "--device_metrics",
+                "--save_images", "none"]
+    )
+    assert abs(avg_none["psnr"] - avg_dm["psnr"]) < 1e-5
+    assert abs(avg_none["ssim"] - avg_dm["ssim"]) < 1e-6
+    assert not [f for f in os.listdir(none_dir) if f.endswith(".png")]
+
+
 def test_train_n2n_mode(fixture_dataset, tmp_path):
     from image_denoising_tpu.cli import train as train_cli
 

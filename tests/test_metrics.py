@@ -123,3 +123,23 @@ def test_native_ssim_matches_python(rng):
     assert abs(ssim(noisy, clean, native=True) - ssim(noisy, clean, native=False)) < 1e-12
     # and against the cv2 oracle
     assert abs(ssim(noisy, clean, native=True) - _cv2_ssim(noisy, clean)) < 1e-10
+
+
+def test_device_metrics_batched(rng):
+    """make_device_metrics scores a [F,H,W] uint8 batch on device and matches
+    the host per-frame metrics (PSNR f32-exact, SSIM ~f32-vs-f64)."""
+    from image_denoising_tpu.metrics import (calculate_psnr, calculate_ssim,
+                                             make_device_metrics)
+
+    frames = [_pair(rng, shape=(72, 80)) for _ in range(3)]
+    pred = np.stack([n for _, n in frames]).astype(np.uint8)
+    clean = np.stack([c for c, _ in frames]).astype(np.uint8)
+    psnr_d, ssim_d = make_device_metrics()(pred, clean)
+    psnr_d, ssim_d = np.asarray(psnr_d), np.asarray(ssim_d)
+    for k in range(3):
+        assert abs(psnr_d[k] - calculate_psnr(pred[k], clean[k],
+                                              zero_mse_psnr=None)) < 1e-3
+        assert abs(ssim_d[k] - calculate_ssim(pred[k], clean[k])) < 1e-4
+    # identical frames -> +inf, matching the un-guarded host variant
+    psnr_i, _ = make_device_metrics()(clean, clean)
+    assert np.all(np.isinf(np.asarray(psnr_i)))
