@@ -30,6 +30,12 @@ def parse_args(argv=None):
                         choices=["all", "denoised", "none"],
                         help="which PNGs to write per frame ('all' mirrors "
                              "the reference; see docs/PERF.md §9)")
+    parser.add_argument("--device_metrics", action="store_true",
+                        help="fuse quantization + PSNR/SSIM into the forward "
+                             "program on the TPU (f32 ssim_jax, ~1e-6 from "
+                             "the host float64 MATLAB-SSIM). With "
+                             "--save_images none the prediction is never "
+                             "fetched to the host.")
     from .common import add_dtype_flag
 
     add_dtype_flag(parser)
@@ -53,33 +59,79 @@ def evaluate(opt):
     fwd = jitted_apply(network, params)
     print(f"Loaded checkpoint from {opt.checkpoint}")
 
+    # --device_metrics: ONE jitted program per frame shape runs the forward,
+    # the reference's clip(p·255+0.5) quantization, L1-vs-noisy, PSNR and
+    # MATLAB-SSIM entirely on device; only scalars (and the uint8 prediction,
+    # when PNGs are requested) come back to the host.
+    scorer_cache: dict = {}
+
+    def _device_scorer(shape):
+        import jax
+
+        from ..metrics.ssim import ssim_jax
+
+        @jax.jit
+        def score(noisy_f, clean_u8):
+            x = noisy_f / 255.0
+            x3 = x[..., None] if x.ndim == 2 else x
+            pred = fwd(x3[None])[0]
+            l1 = jnp.mean(jnp.abs(pred - x3))
+            pred255 = jnp.clip(
+                jnp.clip(pred, 0.0, 1.0).squeeze() * 255.0 + 0.5, 0, 255
+            ).astype(jnp.uint8)
+            p = pred255.astype(jnp.float32)
+            c = clean_u8.astype(jnp.float32)
+            mse = jnp.mean(jnp.square(p - c))
+            psnr = 10.0 * jnp.log10(255.0 * 255.0 / mse)
+            # per-channel SSIM averaged, matching calculate_ssim's dispatch
+            pb = p[None] if p.ndim == 2 else jnp.moveaxis(p, -1, 0)
+            cb = c[None] if c.ndim == 2 else jnp.moveaxis(c, -1, 0)
+            ssim = ssim_jax(pb, cb).mean()
+            return pred255, l1, psnr, ssim
+
+        return score
+
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
         clean_name = os.path.basename(clean_paths[i]).split(".")[0]
         noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
 
         noisy_f = np.asarray(noisy, dtype=np.float32)
-        x = noisy_f / 255.0
-        if x.ndim == 2:
-            x = x[..., None]
-        pred = fwd(jnp.asarray(x)[None])[0]
-
-        l1_val = float(jnp.mean(jnp.abs(pred - jnp.asarray(x))))
-
-        pred_np = np.clip(np.asarray(pred), 0, 1).squeeze()
-        pred255 = np.clip(pred_np * 255.0 + 0.5, 0, 255).astype(np.uint8)
         clean255 = np.asarray(clean).astype(np.uint8)
         noisy255 = noisy_f.astype(np.uint8)
-
         save_mode = getattr(opt, "save_images", "all")
+
+        if getattr(opt, "device_metrics", False):
+            key = (np.shape(noisy_f), np.shape(clean255))
+            score = scorer_cache.get(key)
+            if score is None:
+                score = scorer_cache[key] = _device_scorer(key)
+            pred_dev, l1_dev, psnr_dev, ssim_dev = score(
+                jnp.asarray(noisy_f), jnp.asarray(clean255))
+            pred255 = None
+            if save_mode != "none":
+                pred255 = np.asarray(pred_dev)
+            l1_val = float(l1_dev)
+            psnr_val = float(psnr_dev)
+            ssim_val = float(ssim_dev)
+        else:
+            x = noisy_f / 255.0
+            if x.ndim == 2:
+                x = x[..., None]
+            pred = fwd(jnp.asarray(x)[None])[0]
+
+            l1_val = float(jnp.mean(jnp.abs(pred - jnp.asarray(x))))
+
+            pred_np = np.clip(np.asarray(pred), 0, 1).squeeze()
+            pred255 = np.clip(pred_np * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            psnr_val = calculate_psnr(pred255, clean255, zero_mse_psnr=None)
+            ssim_val = calculate_ssim(pred255, clean255)
+
         if save_mode == "all":
             save_png(noisy255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"))
             save_png(clean255, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"))
         if save_mode != "none":
             save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"))
-
-        psnr_val = calculate_psnr(pred255, clean255, zero_mse_psnr=None)
-        ssim_val = calculate_ssim(pred255, clean255)
         writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val)
         print(
             f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> "

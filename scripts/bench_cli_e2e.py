@@ -72,13 +72,16 @@ def main():
     save_images = "all"
     if "--save_images" in sys.argv:
         save_images = sys.argv[sys.argv.index("--save_images") + 1]
-    opt = parse_args([
+    argv = [
         "--data_dir", ds, "--checkpoint", ckpt,
         "--save_dir", os.path.join(root, "out"),
         "--n_feature", "48", "--log_name", "UNetImproved",
         "--dtype", "bfloat16", "--frame_burst", "8", "--tile_batch", "-8",
         "--save_images", save_images,
-    ])
+    ]
+    if "--device_metrics" in sys.argv:
+        argv.append("--device_metrics")
+    opt = parse_args(argv)
     walls = []
     for rep in range(3):
         t0 = time.perf_counter()
@@ -88,6 +91,7 @@ def main():
              psnr=round(avg["psnr"], 2))
     spf = min(walls) / N_FRAMES
     emit(kind="cli_steady_state", save_images=save_images,
+         device_metrics=bool(opt.device_metrics),
          s_per_frame=round(spf, 3), mps=round(H * W / 1e6 / spf, 2),
          note="min of %d reps x %d frames" % (len(walls), N_FRAMES))
 

@@ -87,6 +87,23 @@ def test_train_and_eval_cli(fixture_dataset, tmp_path, capsys):
     assert os.path.exists(os.path.join(save_dir, "metrics.txt"))
     assert avg["psnr"] > 5.0
 
+    # --device_metrics on the whole-image CLI: fused forward+quantize+score
+    # program, no prediction fetch with --save_images none
+    save_dir_dm = str(tmp_path / "eval_dm")
+    avg_dm = eval_cli.main([
+        "--data_dir", fixture_dataset,
+        "--checkpoint", ckpt,
+        "--save_dir", save_dir_dm,
+        "--n_feature", "16",
+        "--log_name", "UNetImproved_test",
+        "--device_metrics",
+        "--save_images", "none",
+    ])
+    assert abs(avg_dm["psnr"] - avg["psnr"]) < 1e-3
+    assert abs(avg_dm["ssim"] - avg["ssim"]) < 1e-4
+    assert abs(avg_dm["l1"] - avg["l1"]) < 1e-6
+    assert not [f for f in os.listdir(save_dir_dm) if f.endswith(".png")]
+
     # tiled eval with IQ-IoU
     from image_denoising_tpu.cli import evaluation_704_iqsl as eval704
 

@@ -60,6 +60,22 @@ def test_rgb_train_and_whole_frame_eval(rgb_dataset, tmp_path):
     ])
     assert avg["psnr"] > 5.0
 
+    # --device_metrics handles 3-channel frames (per-channel SSIM mean,
+    # matching calculate_ssim's dispatch)
+    avg_dm = eval_cli.main([
+        "--data_dir", rgb_dataset,
+        "--checkpoint", ckpt,
+        "--save_dir", str(tmp_path / "eval_dm"),
+        "--n_feature", "16",
+        "--n_channel", "3",
+        "--log_name", "UNetImproved_rgb",
+        "--device_metrics",
+        "--save_images", "none",
+    ])
+    assert abs(avg_dm["psnr"] - avg["psnr"]) < 1e-3
+    assert abs(avg_dm["ssim"] - avg["ssim"]) < 1e-4
+    assert abs(avg_dm["l1"] - avg["l1"]) < 1e-6
+
 
 def test_rgb_n2n_subsampler_and_losses(rng):
     import jax
