@@ -59,6 +59,12 @@ def parse_args(argv=None):
                              "compute — the bench pipeline shape, here for "
                              "the memory/Hann engine). 0 = frame-by-frame "
                              "like the reference.")
+    parser.add_argument("--save_images", type=str, default="denoised",
+                        choices=["denoised", "none"],
+                        help="'denoised' writes *_denoised_mem.png per frame "
+                             "(the reference's only output image); 'none' "
+                             "computes metrics only (PNG encode is a large "
+                             "share of eval wall on a 1-core host, PERF §9)")
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
@@ -207,8 +213,10 @@ def main(argv=None):
                 out_dtype="uint8_round", mesh=mesh,
             ).squeeze(-1)
 
-        save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
-                 mode="L")
+        if getattr(opt, "save_images", "denoised") != "none":
+            save_png(pred255,
+                     os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
+                     mode="L")
 
         psnr = calculate_psnr(pred255, clean255)
         ious = None

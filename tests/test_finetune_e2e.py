@@ -164,6 +164,15 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
             b = np.asarray(Image.open(tmp_path / "eval_mem_fb" / f))
             assert np.array_equal(a, b), f
 
+    # --save_images none: identical metrics, zero PNGs
+    avg_none = evaluation_704_iqsl_memory.main(
+        eval_args + ["--save_dir", str(tmp_path / "eval_mem_none"),
+                     "--save_images", "none"])
+    for k in avg:
+        np.testing.assert_allclose(avg_none[k], avg[k], rtol=1e-6, err_msg=k)
+    assert not [f for f in os.listdir(tmp_path / "eval_mem_none")
+                if f.endswith(".png")]
+
 
 def test_finetune_memory_bf16_cli(fixture_dataset, base_ckpt, tmp_path):
     """--dtype bfloat16 through the memory finetune + memory eval CLIs
