@@ -45,7 +45,45 @@ __all__ = [
     "batched_frame_forward",
     "add_dtype_flag",
     "resolve_dtype",
+    "iter_bursts",
 ]
+
+
+def iter_bursts(by_shape, get_frame, fb, make_runner, extra=(), post=None,
+                max_inflight=3):
+    """Shared lazy burst stream for the --frame_burst CLI pipelines.
+
+    One runner per frame-shape bucket; frames are loaded per chunk via
+    ``get_frame(j)`` (2-D uint8), the tail chunk is padded by repeating its
+    last frame, and at most ``max_inflight`` bursts are in flight so host
+    work on drained frames (PNG/metrics) overlaps device compute on later
+    bursts while peak RAM stays bounded. Yields ``(chunk, runner_out,
+    post_out)`` where ``post(chunk, runner_out)`` (optional) dispatches extra
+    device work against the still-device-resident outputs (e.g. the
+    --device_metrics scoring program).
+
+    by_shape: {(h, w): [frame indices]} — callers bucket (and validate)
+    shapes up front. make_runner(h, w) builds the per-shape jitted runner;
+    ``extra`` threads runtime args (params, banks) into each runner call.
+    """
+    import jax.numpy as jnp
+
+    for (h, w), idxs in sorted(by_shape.items()):
+        runner = make_runner(h, w)
+        inflight = []
+        for s in range(0, len(idxs), fb):
+            chunk = idxs[s : s + fb]
+            batchf = np.stack([get_frame(j) for j in chunk])
+            if len(chunk) < fb:  # pad tail by repeating the last frame
+                batchf = np.concatenate(
+                    [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
+                )
+            out = runner(jnp.asarray(batchf), *extra)
+            inflight.append((chunk, out, post(chunk, out) if post else None))
+            if len(inflight) >= max_inflight:
+                yield inflight.pop(0)
+        while inflight:
+            yield inflight.pop(0)
 
 
 def add_dtype_flag(parser, default: str = "float32") -> None:

@@ -88,53 +88,56 @@ def run(opt):
 
     out_dtype = "uint8_floor" if opt.rounding == "floor" else "uint8_round"
 
-    def out_path(p):
+    # collision-safe output names: two inputs with the same stem but
+    # different extensions (frame01.png + frame01.tif — the '*' glob picks
+    # up every file) must not overwrite each other's denoised PNG
+    stem_count: dict = {}
+    for p in paths:
         stem = os.path.splitext(os.path.basename(p))[0]
+        stem_count[stem] = stem_count.get(stem, 0) + 1
+
+    def out_path(p):
+        base = os.path.basename(p)
+        stem, _ = os.path.splitext(base)
+        if stem_count[stem] > 1:  # keep the extension in the name
+            stem = base.replace(".", "_")
         return os.path.join(opt.save_dir, f"{stem}{opt.suffix}.png")
 
-    frames = {}
-    for j, p in enumerate(paths):
-        arr = load_image_f32(p)
+    def _load(j):
+        arr = load_image_f32(paths[j])
         assert arr.ndim == 2, (
-            f"tiled pyramid denoising is single-channel: {p} has shape "
-            f"{arr.shape}"
+            f"tiled pyramid denoising is single-channel: {paths[j]} has "
+            f"shape {arr.shape}"
         )
-        frames[j] = arr.astype(np.uint8)
+        return arr.astype(np.uint8)
 
     n_done = 0
     if opt.frame_burst and opt.frame_burst > 1:
-        import jax.numpy as jnp
+        from PIL import Image
 
         from ..eval.tiled import make_tiled_pyramid_runner_frames
+        from .common import iter_bursts
 
         fb = opt.frame_burst
+        # header-only pass for shape bucketing (PIL reads sizes lazily);
+        # frames decode on demand inside the burst stream, so peak host RAM
+        # is bounded by the <=3 in-flight bursts, not the directory size
         by_shape: dict = {}
-        for j, arr in frames.items():
-            by_shape.setdefault(arr.shape, []).append(j)
+        for j, p in enumerate(paths):
+            with Image.open(p) as im:
+                w_px, h_px = im.size
+            by_shape.setdefault((h_px, w_px), []).append(j)
+
+        def make_runner(h, w):
+            return make_tiled_pyramid_runner_frames(
+                fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
+                out_dtype=out_dtype, mesh=mesh,
+            )
 
         # lazy burst stream (same discipline as evaluation_704): PNG encode
         # for finished frames overlaps device work on in-flight bursts
-        def _bursts():
-            for (h, w), idxs in sorted(by_shape.items()):
-                runner = make_tiled_pyramid_runner_frames(
-                    fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
-                    out_dtype=out_dtype, mesh=mesh,
-                )
-                inflight = []
-                for s in range(0, len(idxs), fb):
-                    chunk = idxs[s : s + fb]
-                    batchf = np.stack([frames[j] for j in chunk])
-                    if len(chunk) < fb:
-                        batchf = np.concatenate(
-                            [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
-                        )
-                    inflight.append((chunk, runner(jnp.asarray(batchf))))
-                    if len(inflight) > 2:
-                        yield inflight.pop(0)
-                while inflight:
-                    yield inflight.pop(0)
-
-        for chunk, (out_dev, _l1) in _bursts():
+        for chunk, (out_dev, _l1), _ in iter_bursts(by_shape, _load, fb,
+                                                    make_runner):
             out = np.asarray(out_dev)
             for k, j in enumerate(chunk):
                 save_png(out[k], out_path(paths[j]), mode=None)
@@ -143,7 +146,7 @@ def run(opt):
     else:
         for j, p in enumerate(paths):
             pred255, _l1 = denoise_tiled_pyramid(
-                fwd, frames[j], ps=opt.tile, overlap=opt.overlap,
+                fwd, _load(j), ps=opt.tile, overlap=opt.overlap,
                 batch=tile_batch, out_dtype=out_dtype, mesh=mesh,
             )
             save_png(pred255, out_path(p), mode=None)

@@ -68,7 +68,7 @@ def evaluate(opt):
     def _device_scorer(shape):
         import jax
 
-        from ..metrics.ssim import ssim_jax
+        from ..metrics import frame_psnr_ssim
 
         @jax.jit
         def score(noisy_f, clean_u8):
@@ -79,14 +79,7 @@ def evaluate(opt):
             pred255 = jnp.clip(
                 jnp.clip(pred, 0.0, 1.0).squeeze() * 255.0 + 0.5, 0, 255
             ).astype(jnp.uint8)
-            p = pred255.astype(jnp.float32)
-            c = clean_u8.astype(jnp.float32)
-            mse = jnp.mean(jnp.square(p - c))
-            psnr = 10.0 * jnp.log10(255.0 * 255.0 / mse)
-            # per-channel SSIM averaged, matching calculate_ssim's dispatch
-            pb = p[None] if p.ndim == 2 else jnp.moveaxis(p, -1, 0)
-            cb = c[None] if c.ndim == 2 else jnp.moveaxis(c, -1, 0)
-            ssim = ssim_jax(pb, cb).mean()
+            psnr, ssim = frame_psnr_ssim(pred255, clean_u8)
             return pred255, l1, psnr, ssim
 
         return score

@@ -160,40 +160,31 @@ def evaluate(opt):
                 )
             by_shape.setdefault(np.shape(nz), []).append(j)
 
-        def _bursts():
-            for (h, w), idxs in sorted(by_shape.items()):
-                runner = make_tiled_pyramid_runner_frames(
-                    fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
-                    out_dtype="uint8_floor", mesh=mesh,
-                )
-                inflight = []
-                for s in range(0, len(idxs), fb):
-                    chunk = idxs[s : s + fb]
-                    batchf = np.stack(
-                        [np.asarray(noisy_imgs[j], np.uint8) for j in chunk]
-                    )
-                    if len(chunk) < fb:  # pad tail by repeating the last frame
-                        batchf = np.concatenate(
-                            [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
-                        )
-                    out = runner(jnp.asarray(batchf))
-                    m_out = None
-                    if metrics_fn is not None:
-                        cleanf = np.stack(
-                            [np.asarray(clean_imgs[j], np.uint8) for j in chunk]
-                        )
-                        if len(chunk) < fb:
-                            cleanf = np.concatenate(
-                                [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
-                            )
-                        m_out = metrics_fn(out[0], jnp.asarray(cleanf))
-                    inflight.append((chunk, out, m_out))
-                    if len(inflight) > 2:
-                        yield inflight.pop(0)
-                while inflight:
-                    yield inflight.pop(0)
+        from .common import iter_bursts
 
-        burst_stream = _bursts()
+        def make_runner(h, w):
+            return make_tiled_pyramid_runner_frames(
+                fwd, fb, h, w, opt.tile, opt.overlap, batch=tile_batch,
+                out_dtype="uint8_floor", mesh=mesh,
+            )
+
+        post = None
+        if metrics_fn is not None:
+            # score the still-device-resident burst against its clean frames
+            def post(chunk, out):
+                cleanf = np.stack(
+                    [np.asarray(clean_imgs[j], np.uint8) for j in chunk]
+                )
+                if len(chunk) < fb:  # same tail padding as the noisy batch
+                    cleanf = np.concatenate(
+                        [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
+                    )
+                return metrics_fn(out[0], jnp.asarray(cleanf))
+
+        burst_stream = iter_bursts(
+            by_shape, lambda j: np.asarray(noisy_imgs[j], np.uint8), fb,
+            make_runner, post=post,
+        )
 
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):

@@ -146,8 +146,6 @@ def main(argv=None):
     pred_cache: dict = {}
     burst_stream = None
     if opt.frame_burst and opt.frame_burst > 1:
-        import jax.numpy as jnp
-
         from ..eval import make_tiled_hann_runner_frames
 
         fb = opt.frame_burst
@@ -163,37 +161,27 @@ def main(argv=None):
             )
             by_shape.setdefault(shape, []).append(j)
 
+        from .common import iter_bursts
+
         def _drain(item):
-            chunk, out_dev = item
+            chunk, out_dev, _ = item
             out = np.asarray(out_dev)
             for k, j in enumerate(chunk):
                 pred_cache[j] = out[k]
 
-        def _bursts():
-            for (h, w), idxs in sorted(by_shape.items()):
-                runner = make_tiled_hann_runner_frames(
-                    model_call, fb, h, w, ps=opt.patch_size,
-                    overlap=opt.overlap, batch=tile_batch,
-                    out_dtype="uint8_round", mesh=mesh,
-                )
-                inflight = []
-                for s in range(0, len(idxs), fb):
-                    chunk = idxs[s : s + fb]
-                    batchf = np.stack(
-                        [np.asarray(noisy_imgs[j], np.uint8).reshape(h, w)
-                         for j in chunk]
-                    )
-                    if len(chunk) < fb:  # pad tail by repeating the last frame
-                        batchf = np.concatenate(
-                            [batchf, np.repeat(batchf[-1:], fb - len(chunk), 0)]
-                        )
-                    inflight.append((chunk, runner(jnp.asarray(batchf), *extra)))
-                    if len(inflight) > 2:
-                        yield inflight.pop(0)
-                while inflight:
-                    yield inflight.pop(0)
+        def _get_frame(j):  # (h,w,1) frames squeeze to the bucket shape
+            a = np.asarray(noisy_imgs[j], np.uint8)
+            return a[..., 0] if a.ndim == 3 else a
 
-        burst_stream = _bursts()
+        def make_runner(h, w):
+            return make_tiled_hann_runner_frames(
+                model_call, fb, h, w, ps=opt.patch_size,
+                overlap=opt.overlap, batch=tile_batch,
+                out_dtype="uint8_round", mesh=mesh,
+            )
+
+        burst_stream = iter_bursts(by_shape, _get_frame, fb, make_runner,
+                                   extra=extra)
 
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):

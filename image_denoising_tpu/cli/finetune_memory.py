@@ -146,6 +146,10 @@ def main(argv=None):
         print(f"memory bank sharded over {mesh.devices.size} devices "
               f"(~{bank.noise_flat.nbytes // mesh.devices.size / 1e6:.1f} MB "
               f"noise bank per device)")
+        if opt.parallel:
+            print("[bank_sharded] training batch stays replicated (the ring "
+                  "replicates queries; only banks shard) — --parallel adds "
+                  "no batch DP here")
 
     wrapper = DenoiserWithMemoryAdapter(
         base=base, in_channels=opt.n_channel,
@@ -213,7 +217,12 @@ def main(argv=None):
             train_dataset.batches(opt.batchsize, rng), start=1
         ):
             batch = (clean, noisy)
-            if mesh is not None:
+            if opt.parallel and not opt.bank_sharded:
+                # batch DP only without a sharded bank: the ring replicates
+                # its (small) query batch by design (queries_sharded=False —
+                # only the BANKS shard); sharding the batch here would force
+                # a per-step reshard inside the jitted step and contradict
+                # the placement the sharded-vs-replicated equality test pins.
                 from ..parallel import shard_batch
 
                 batch = shard_batch(mesh, batch)

@@ -158,6 +158,11 @@ def main(argv=None):
         # (train.py:369-373); the n2n path reports its rec term instead.
         # The epoch mean + A_log.csv record the L1 component, not the full
         # structure loss (train.py:365-377,434).
+        # Time semantics under lag-1: spans step i's prep start → its metric
+        # fetch, which lands AFTER step i+1 is dispatched — so it includes
+        # i+1's host prep/dispatch (~ms) on top of step i's wall. At steady
+        # state it reads the pipelined per-step interval, NOT the reference's
+        # synchronous step time; loss values and ordering are identical.
         ep, i, st0, m = p
         loss = float(m["loss"])
         l1_part = float(m.get("l1", m.get("loss_rec", loss)))

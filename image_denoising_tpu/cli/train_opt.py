@@ -105,6 +105,8 @@ def main(argv=None):
             last_loss = total / max(1, batches)
         return last_loss, state, model
 
+    _placement_probe = jax.jit(lambda: jnp.zeros(()))
+
     def objective(trial):
         init_seed = SEED + trial.number
         trial.set_user_attr("init_seed", int(init_seed))
@@ -123,8 +125,11 @@ def main(argv=None):
 
         with jax.default_device(dev):
             # record the device the computation ACTUALLY landed on, not the
-            # request (replaces the round-2 hardcoded 0)
-            probe = jax.jit(lambda: jnp.zeros(()))()
+            # request (replaces the round-2 hardcoded 0). The probe is a
+            # single shared jitted fn (one cache entry per device, not per
+            # trial — each new jit lambda would compile + round-trip per
+            # trial, expensive on a slow-dispatch backend).
+            probe = _placement_probe()
             trial.set_user_attr("device", int(next(iter(probe.devices())).id))
 
             # init snapshot for exact reproducibility of the final retrain

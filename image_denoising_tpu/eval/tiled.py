@@ -193,15 +193,25 @@ def denoise_whole_frame(model_call, noisy01: np.ndarray):
 _UNROLL_MAX_TILES = 256
 
 
-def _scatter_blend(r0s, c0s, wms, h: int, w: int, ps: int, inv_contrib,
-                   clip01: bool):
+def _scatter_blend(r0s, c0s, window, h: int, w: int, ps: int, inv_contrib,
+                   clip01: bool, valid_hw=None):
     """O(1)-program-size blend: fori_loop of dynamic-slice adds on a canvas
     padded by ps (pyramid grids may overrun the frame edge; the weight masks
-    are zero outside the valid extent so the overrun adds zeros)."""
+    are zero outside the valid extent so the overrun adds zeros).
+
+    ``window`` is ONE shared [ps,ps] mask. Ragged pyramid edge tiles pass
+    ``valid_hw`` = ([T] th, [T] tw): a cropped tile's mask is exactly the
+    shared mask's top-left th×tw block, so validity is applied as two iota
+    comparisons instead of baking a [T,ps,ps] per-tile mask stack (~160 MB
+    for a 5000² pyramid grid — the huge-frame regime this fallback exists
+    for)."""
     r0j = jnp.asarray(r0s, jnp.int32)
     c0j = jnp.asarray(c0s, jnp.int32)
-    # [T,ps,ps] per-tile zero-padded masks, or one shared [ps,ps] window
-    wmj = jnp.asarray(np.stack(wms) if isinstance(wms, list) else wms)
+    wmj = jnp.asarray(window, jnp.float32)
+    if valid_hw is not None:
+        th_j = jnp.asarray(valid_hw[0], jnp.int32)
+        tw_j = jnp.asarray(valid_hw[1], jnp.int32)
+        iota = jnp.arange(ps, dtype=jnp.int32)
 
     def blend(preds):
         canvas = jnp.zeros((h + ps, w + ps), jnp.float32)
@@ -210,7 +220,9 @@ def _scatter_blend(r0s, c0s, wms, h: int, w: int, ps: int, inv_contrib,
             p = preds[i].astype(jnp.float32)
             if clip01:
                 p = jnp.clip(p, 0.0, 1.0)
-            tile = p * (wmj if wmj.ndim == 2 else wmj[i])
+            tile = p * wmj
+            if valid_hw is not None:
+                tile = tile * (iota < th_j[i])[:, None] * (iota < tw_j[i])[None, :]
             cur = jax.lax.dynamic_slice(canvas, (r0j[i], c0j[i]), (ps, ps))
             return jax.lax.dynamic_update_slice(canvas, cur + tile, (r0j[i], c0j[i]))
 
@@ -243,13 +255,10 @@ def _make_pyramid_blender(grid, mask_np: np.ndarray, h: int, w: int):
     inv_contrib = jnp.asarray(1.0 / contrib, jnp.float32)
 
     if len(grid) > _UNROLL_MAX_TILES:
-        padded = [
-            np.pad(mask_np[:th, :tw], ((0, ps - th), (0, ps - tw))).astype(np.float32)
-            for (_, _, th, tw) in grid
-        ]
         return _scatter_blend(
-            [g[0] for g in grid], [g[1] for g in grid], padded, h, w, ps,
+            [g[0] for g in grid], [g[1] for g in grid], mask_np, h, w, ps,
             inv_contrib, clip01=True,
+            valid_hw=([g[2] for g in grid], [g[3] for g in grid]),
         )
 
     def blend(preds):

@@ -214,6 +214,30 @@ def _chain_kernel(
         out_refs[1][0] = interior(c0).astype(out_refs[1].dtype)
 
 
+_VMEM_BUDGET_BYTES = 96 * 1024 * 1024
+
+
+def _auto_slab_rows(h_img, w_img, k, feats_pad, growth, nf, compute_dtype,
+                    budget=_VMEM_BUDGET_BYTES):
+    """Largest divisor of H whose slab working set fits the VMEM budget.
+
+    Plain halving can step through non-divisors (H=900 → 225 → 112 …) and
+    trip the divisibility assert; restricting to divisors keeps auto-selection
+    valid for any height. Falls back to 1-row slabs if nothing fits.
+    """
+    def _fits(sr):
+        r = sr + 2 * k
+        w2 = w_img + 2 * k
+        bytes_est = (
+            r * w2 * (feats_pad + 9 * max(growth, nf) * 2 + 3 * 128)
+            * np.dtype(compute_dtype).itemsize
+        )
+        return bytes_est < budget
+
+    divisors = [d for d in range(h_img, 0, -1) if h_img % d == 0]
+    return next((d for d in divisors if _fits(d)), divisors[-1])
+
+
 def fused_rdb_chain(
     x,
     weights: FusedChainWeights,
@@ -242,17 +266,8 @@ def fused_rdb_chain(
     feats_pad = -(-feats_width // 128) * 128
 
     if s_rows is None:
-        s_rows = h_img
-        while s_rows > 8:
-            r = s_rows + 2 * k
-            w2 = w_img + 2 * k
-            bytes_est = (
-                r * w2 * (feats_pad + 9 * max(growth, nf) * 2 + 3 * 128)
-                * np.dtype(compute_dtype).itemsize
-            )
-            if bytes_est < 96 * 1024 * 1024:
-                break
-            s_rows //= 2
+        s_rows = _auto_slab_rows(h_img, w_img, k, feats_pad, growth, nf,
+                                 compute_dtype)
     assert h_img % s_rows == 0, (h_img, s_rows)
     n_slabs = h_img // s_rows
     r = s_rows + 2 * k

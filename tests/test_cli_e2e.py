@@ -202,6 +202,27 @@ def test_denoise_cli_matches_eval704(fixture_dataset, tmp_path):
                 diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
                 assert diff.max() <= atol, (mode, stem, diff.max())
 
+    # same stem, different extensions, must not overwrite each other
+    coll_in = tmp_path / "coll_in"
+    coll_in.mkdir()
+    src = sorted(os.listdir(noise_dir))[0]
+    img = Image.open(os.path.join(noise_dir, src))
+    img.save(coll_in / "frame01.png")
+    img.save(coll_in / "frame01.tif")
+    coll_out = str(tmp_path / "coll_out")
+    n = denoise_cli.main([
+        "--input_dir", str(coll_in), "--save_dir", coll_out,
+        "--checkpoint", ckpts[0], "--n_feature", "8",
+        "--log_name", "UNetImproved_dn", "--tile", "32",
+        "--overlap", "16", "--dtype", "float32",
+        "--tile_batch", "-1", "--frame_burst", "2",
+    ])
+    assert n == 2
+    outs = sorted(os.listdir(coll_out))
+    assert len(outs) == 2, outs
+    a, b = (np.asarray(Image.open(os.path.join(coll_out, f))) for f in outs)
+    assert np.array_equal(a, b)  # identical content, two distinct files
+
 
 def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
     """--frame_burst (burst-pipelined frames, the bench pipeline shape) must

@@ -100,3 +100,18 @@ def test_fused_forward_matches_improved_unet(rng):
     out = improved_unet_fused_apply(params, x, in_nc=1, n_feature=8,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_auto_slab_rows_divides_any_height():
+    """Auto slab selection must return a divisor of H for heights whose
+    halving sequence passes through non-divisors (e.g. 900 → 225 → 112)."""
+    import numpy as np
+
+    from image_denoising_tpu.ops.fused_block_pallas import _auto_slab_rows
+
+    for h in (900, 704, 352, 360, 1000, 977):  # incl. a prime
+        for budget in (1 << 20, 8 << 20, 96 << 20):
+            sr = _auto_slab_rows(h, w_img=704, k=6, feats_pad=256, growth=24,
+                                 nf=48, compute_dtype=np.float32,
+                                 budget=budget)
+            assert h % sr == 0, (h, budget, sr)
