@@ -275,6 +275,64 @@ def test_eval_frame_burst_matches_sequential(fixture_dataset, tmp_path):
                     assert diff.max() <= atol, (mode, f, diff.max())
 
 
+def test_eval_frame_burst_mixed_shapes(fixture_dataset, tmp_path):
+    """Directories with MIXED frame sizes exercise the burst stream's
+    per-shape buckets and the non-monotonic drain order (the metrics loop
+    walks frames in directory order while bursts stream shape-by-shape).
+    Must match the sequential path byte-for-byte; --device_metrics must
+    score each bucket with its own program."""
+    from PIL import Image
+
+    from image_denoising_tpu.cli import evaluation_704 as eval704
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path / "results")
+    train_cli.main([
+        "--data_dir", fixture_dataset, "--save_model_path", save_root,
+        "--log_name", "UNetImproved_mix", "--n_feature", "8",
+        "--n_epoch", "1", "--batchsize", "2", "--max_steps_per_epoch", "1",
+    ])
+    ckpts = []
+    for dirpath, _, files in os.walk(save_root):
+        ckpts += [os.path.join(dirpath, f) for f in files
+                  if f.endswith("epoch_model_001.ckpt")]
+
+    # interleaved shapes in directory order: 64x64, 64x96, 64x64, 64x96
+    mix = tmp_path / "mixdata"
+    (mix / "clean").mkdir(parents=True)
+    (mix / "noise").mkdir()
+    rng = np.random.default_rng(3)
+    for i, w in enumerate((64, 96, 64, 96)):
+        yy, xx = np.mgrid[0:64, 0:w]
+        clean = (100 + 50 * np.sin(xx / 7.0 + i) + 30 * (yy // 16 % 2)
+                 ).clip(0, 255).astype(np.uint8)
+        noisy = np.clip(clean + rng.normal(0, 15, clean.shape), 0, 255
+                        ).astype(np.uint8)
+        Image.fromarray(clean).save(mix / "clean" / f"m_{i:02d}.png")
+        Image.fromarray(noisy).save(mix / "noise" / f"m_{i:02d}.png")
+
+    args = [
+        "--data_dir", str(mix), "--checkpoint", ckpts[0],
+        "--n_feature", "8", "--log_name", "UNetImproved_mix",
+        "--tile", "32", "--overlap", "16",
+    ]
+    seq_dir = str(tmp_path / "mix_seq")
+    avg_seq = eval704.main(args + ["--save_dir", seq_dir])
+
+    fb_dir = str(tmp_path / "mix_fb")
+    avg_fb = eval704.main(
+        args + ["--save_dir", fb_dir, "--frame_burst", "2", "--device_metrics"]
+    )
+    assert abs(avg_fb["psnr"] - avg_seq["psnr"]) < 1e-3
+    assert abs(avg_fb["ssim"] - avg_seq["ssim"]) < 1e-5
+    np.testing.assert_allclose(avg_fb["l1"], avg_seq["l1"], rtol=1e-6)
+    for f in sorted(os.listdir(seq_dir)):
+        if f.endswith(".png"):
+            a = np.asarray(Image.open(os.path.join(seq_dir, f)))
+            b = np.asarray(Image.open(os.path.join(fb_dir, f)))
+            assert np.array_equal(a, b), f
+
+
 def test_eval_device_metrics_matches_host(fixture_dataset, tmp_path):
     """--device_metrics scores PSNR/SSIM on device (f32 ssim_jax) and must
     match the host float64 MATLAB-SSIM pass to ~1e-5 and host-f32 PSNR to
