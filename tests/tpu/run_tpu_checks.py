@@ -181,6 +181,29 @@ def check_fused_chain():
     print(f"fused chain kernel OK: rdb diff {d1:.1e}, c0 diff {d2:.1e}")
 
 
+def check_device_metrics():
+    """--device_metrics accuracy on REAL hardware: f32 PSNR/SSIM on the TPU
+    vs the host float64 MATLAB-SSIM / f32 PSNR (the CPU tests pin this on the
+    CPU backend; TPU f32 matmul/conv rounding differs, so verify on-chip)."""
+    import jax
+
+    from image_denoising_tpu.metrics import (calculate_psnr, calculate_ssim,
+                                             make_device_metrics)
+
+    rng = np.random.default_rng(4)
+    clean = rng.integers(0, 256, (4, 352, 352)).astype(np.uint8)
+    pred = np.clip(
+        clean.astype(np.float32) + rng.normal(0, 12, clean.shape), 0, 255
+    ).astype(np.uint8)
+    psnr_d, ssim_d = jax.block_until_ready(make_device_metrics()(pred, clean))
+    psnr_d, ssim_d = np.asarray(psnr_d), np.asarray(ssim_d)
+    for k in range(4):
+        dp = abs(psnr_d[k] - calculate_psnr(pred[k], clean[k], zero_mse_psnr=None))
+        ds = abs(ssim_d[k] - calculate_ssim(pred[k], clean[k]))
+        assert dp < 1e-2 and ds < 1e-4, (k, dp, ds)
+    print("device metrics OK: TPU f32 PSNR/SSIM within 1e-2 dB / 1e-4 of host f64")
+
+
 if __name__ == "__main__":
     import jax
 
@@ -189,4 +212,5 @@ if __name__ == "__main__":
     check_subsampler()
     check_memory_wrapper_at_scale()
     check_fused_chain()
+    check_device_metrics()
     print("ALL TPU CHECKS PASSED")
