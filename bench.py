@@ -62,6 +62,41 @@ TRAIN_FLOPS_PER_STEP = 4.2768e12
 BF16_PEAK = {"TPU v5 lite": 197e12}  # chip bf16 peak FLOP/s by device_kind
 
 
+def _wait_for_tpu(budget_s=float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))):
+    """Ride out a transient axon-pool outage before touching the device.
+
+    The tunneled backend has two failure modes: a fast UNAVAILABLE error and
+    an indefinite hang inside device init. Neither is recoverable in-process,
+    so probe from a killable subprocess (timeout per attempt) and retry until
+    the budget runs out; then proceed and let the real run surface the error.
+    Diagnostics go to stderr — stdout carries only the JSON line.
+    """
+    import subprocess
+
+    probe = ("import jax, numpy as np; "
+             "x = jax.jit(lambda a: a * 2)(np.ones((8, 128), np.float32)); "
+             "print('ok', float(np.asarray(x).sum()))")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=600,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                if attempt > 1:
+                    print(f"bench: TPU back after {attempt} probes", file=sys.stderr)
+                return
+            tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+            print(f"bench: TPU probe {attempt} failed: {tail}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: TPU probe {attempt} hung (600s), killed", file=sys.stderr)
+        if time.monotonic() >= deadline:
+            print("bench: TPU wait budget exhausted, proceeding", file=sys.stderr)
+            return
+        time.sleep(min(120, max(1, deadline - time.monotonic())))
+
+
 def _load_baselines():
     path = os.path.join(REPO, "bench_baseline.json")
     if not os.path.exists(path) and os.path.isdir("/root/reference"):
@@ -79,6 +114,8 @@ def _load_baselines():
 
 
 def main():
+    _wait_for_tpu()
+
     import jax
     import jax.numpy as jnp
 

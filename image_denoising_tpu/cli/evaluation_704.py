@@ -50,13 +50,15 @@ def parse_args(argv=None):
                              "only. PNG encode is a large share of eval wall "
                              "time on a 1-core host (docs/PERF.md §9).")
     parser.add_argument("--device_metrics", action="store_true",
-                        help="score PSNR/SSIM on the TPU instead of the host "
-                             "(float32 ssim_jax, ~1e-6 from the host float64 "
-                             "MATLAB-SSIM; PSNR identical). Predictions stay "
-                             "device-resident, so with --save_images none the "
-                             "per-frame D2H is three scalars — removes the "
-                             "1-core host metrics bottleneck (PERF §9). "
-                             "Implies the burst pipeline (frame_burst >= 1).")
+                        help="score PSNR/SSIM — and IQ-IoU with "
+                             "--compute_iq_iou — on the TPU instead of the "
+                             "host (float32 ssim_jax, ~1e-6 from the host "
+                             "float64 MATLAB-SSIM; PSNR identical). "
+                             "Predictions stay device-resident, so with "
+                             "--save_images none the per-frame D2H is a "
+                             "handful of scalars — removes the 1-core host "
+                             "metrics bottleneck (PERF §9). Implies the "
+                             "burst pipeline (frame_burst >= 1).")
     # IQ-IoU options (evaluation_704_iqsl.py adds these; harmless here)
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
@@ -71,18 +73,19 @@ def _drain_burst(item, cache, fetch_pred: bool = True):
     """Fetch one in-flight burst's outputs to the host cache.
 
     Entries are ``(pred_or_None, l1, device_metrics_or_None)`` where
-    device_metrics is ``(psnr, ssim)``. With --device_metrics and
-    --save_images none the prediction itself is never fetched
-    (``fetch_pred=False``) — the D2H per frame is three scalars."""
+    device_metrics is ``(psnr, ssim)`` or ``(psnr, ssim, ious[3])`` (with
+    --compute_iq_iou). With --device_metrics and --save_images none the
+    prediction itself is never fetched (``fetch_pred=False``) — the D2H per
+    frame is a handful of scalars."""
     chunk, (out_dev, l1_dev), m_dev = item
     out = np.asarray(out_dev) if fetch_pred else None
     l1 = np.asarray(l1_dev)
     m = None
     if m_dev is not None:
-        m = (np.asarray(m_dev[0]), np.asarray(m_dev[1]))
+        m = tuple(np.asarray(x) for x in m_dev)
     for k, j in enumerate(chunk):
         pred = out[k] if out is not None else None
-        dm = (float(m[0][k]), float(m[1][k])) if m is not None else None
+        dm = tuple(x[k] for x in m) if m is not None else None
         cache[j] = (pred, float(l1[k]), dm)
 
 
@@ -134,7 +137,7 @@ def evaluate(opt):
     save_mode = getattr(opt, "save_images", "all")
     # --device_metrics needs device-resident predictions → burst pipeline
     # (a 1-frame burst still avoids the fetch/re-upload round trip)
-    fetch_pred = (not device_metrics) or save_mode != "none" or opt.compute_iq_iou
+    fetch_pred = (not device_metrics) or save_mode != "none"
     if (getattr(opt, "frame_burst", 0) and opt.frame_burst > 1) or device_metrics:
         import jax.numpy as jnp
 
@@ -145,7 +148,12 @@ def evaluate(opt):
         if device_metrics:
             from ..metrics import make_device_metrics
 
-            metrics_fn = make_device_metrics()
+            # --compute_iq_iou scores on device too, so predictions can
+            # stay device-resident even for the fully-scored pipeline
+            metrics_fn = make_device_metrics(
+                iq_iou=opt.compute_iq_iou,
+                low_q=opt.iq_low_q, high_q=opt.iq_high_q,
+            )
         by_shape: dict = {}
         for j, nz in enumerate(noisy_imgs):
             assert np.ndim(nz) == 2, (
@@ -212,18 +220,21 @@ def evaluate(opt):
         if save_mode != "none":
             save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"), mode=None)
 
+        ious = None
         if dev_m is not None:
-            psnr_val, ssim_val = dev_m
+            psnr_val, ssim_val = float(dev_m[0]), float(dev_m[1])
+            if len(dev_m) > 2:
+                ious = [float(v) for v in dev_m[2]]
         else:
             psnr_val = calculate_psnr(pred255, clean_u8, zero_mse_psnr=None)
             ssim_val = calculate_ssim(pred255, clean_u8)
-        ious = None
         msg = (
             f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> "
             f"PSNR: {psnr_val:.2f}, SSIM: {ssim_val:.4f}, L1: {l1_val:.6f}"
         )
         if opt.compute_iq_iou:
-            ious = compute_iq_iou(pred255, clean_u8, opt.iq_low_q, opt.iq_high_q)
+            if ious is None:
+                ious = compute_iq_iou(pred255, clean_u8, opt.iq_low_q, opt.iq_high_q)
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
         writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val, ious=ious)
         print(msg)

@@ -68,6 +68,12 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
+    parser.add_argument("--device_metrics", action="store_true",
+                        help="score PSNR (and IQ-IoU with --compute_iq_iou) "
+                             "on the TPU; with --save_images none predictions "
+                             "stay device-resident and the per-frame D2H is "
+                             "a handful of scalars (PERF §9.1). Implies the "
+                             "burst pipeline (frame_burst >= 1).")
     from .common import add_dtype_flag
 
     add_dtype_flag(parser)
@@ -145,11 +151,21 @@ def main(argv=None):
     # demand so host-side PSNR/IoU/PNG work overlaps in-flight device bursts.
     pred_cache: dict = {}
     burst_stream = None
-    if opt.frame_burst and opt.frame_burst > 1:
+    device_metrics = bool(getattr(opt, "device_metrics", False))
+    save_mode = getattr(opt, "save_images", "denoised")
+    # --device_metrics needs device-resident predictions → burst pipeline
+    fetch_pred = (not device_metrics) or save_mode != "none"
+    if (opt.frame_burst and opt.frame_burst > 1) or device_metrics:
+        import jax.numpy as jnp
+
         from ..eval import make_tiled_hann_runner_frames
 
-        fb = opt.frame_burst
+        fb = max(int(opt.frame_burst or 0), 1)
         extra = (params, bank.noise_flat, bank.clean, bank.sq_norms)
+
+        def _squeeze2d(a):
+            return a[..., 0] if a.ndim == 3 else a
+
         by_shape: dict = {}
         for j, nz in enumerate(noisy_imgs):
             shape = np.shape(nz)
@@ -159,19 +175,41 @@ def main(argv=None):
                 f"memory tiled eval is single-channel: frame {j} has shape "
                 f"{np.shape(nz)}"
             )
+            if device_metrics:
+                cshape = np.shape(_squeeze2d(np.asarray(clean_imgs[j])))
+                assert cshape == shape, (
+                    f"--device_metrics scores on device per shape bucket: "
+                    f"clean/noisy shapes differ for frame {j} "
+                    f"({cshape} vs {shape})"
+                )
             by_shape.setdefault(shape, []).append(j)
 
         from .common import iter_bursts
 
+        metrics_fn = None
+        if device_metrics:
+            # E6 reports PSNR (+ optional IQ-IoU); the scorer's SSIM output
+            # is computed but unused — negligible next to the UNet forward
+            from ..metrics import make_device_metrics
+
+            metrics_fn = make_device_metrics(
+                iq_iou=opt.compute_iq_iou,
+                low_q=opt.iq_low_q, high_q=opt.iq_high_q,
+            )
+
         def _drain(item):
-            chunk, out_dev, _ = item
-            out = np.asarray(out_dev)
+            chunk, out_dev, m_dev = item
+            out = np.asarray(out_dev) if fetch_pred else None
+            m = None
+            if m_dev is not None:
+                m = tuple(np.asarray(x) for x in m_dev)
             for k, j in enumerate(chunk):
-                pred_cache[j] = out[k]
+                pred = out[k] if out is not None else None
+                dm = tuple(x[k] for x in m) if m is not None else None
+                pred_cache[j] = (pred, dm)
 
         def _get_frame(j):  # (h,w,1) frames squeeze to the bucket shape
-            a = np.asarray(noisy_imgs[j], np.uint8)
-            return a[..., 0] if a.ndim == 3 else a
+            return _squeeze2d(np.asarray(noisy_imgs[j], np.uint8))
 
         def make_runner(h, w):
             return make_tiled_hann_runner_frames(
@@ -180,18 +218,33 @@ def main(argv=None):
                 out_dtype="uint8_round", mesh=mesh,
             )
 
+        post = None
+        if metrics_fn is not None:
+            # score the still-device-resident [F,H,W] burst vs its clean frames
+            def post(chunk, out):
+                cleanf = np.stack(
+                    [_squeeze2d(np.asarray(clean_imgs[j], np.uint8))
+                     for j in chunk]
+                )
+                if len(chunk) < fb:  # same tail padding as the noisy batch
+                    cleanf = np.concatenate(
+                        [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
+                    )
+                return metrics_fn(out, jnp.asarray(cleanf))
+
         burst_stream = iter_bursts(by_shape, _get_frame, fb, make_runner,
-                                   extra=extra)
+                                   extra=extra, post=post)
 
     writer = MetricsWriter()
     for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
         noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
         clean255 = np.asarray(clean).astype(np.uint8)
 
+        dev_m = None
         if burst_stream is not None:
             while i not in pred_cache:
                 _drain(next(burst_stream))
-            pred255 = pred_cache.pop(i)
+            pred255, dev_m = pred_cache.pop(i)
         else:
             # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
             pred255 = denoise_tiled_hann(
@@ -201,16 +254,24 @@ def main(argv=None):
                 out_dtype="uint8_round", mesh=mesh,
             ).squeeze(-1)
 
-        if getattr(opt, "save_images", "denoised") != "none":
+        if save_mode != "none":
             save_png(pred255,
                      os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
                      mode="L")
 
-        psnr = calculate_psnr(pred255, clean255)
         ious = None
+        if dev_m is not None:
+            psnr = float(dev_m[0])  # dev_m[1] is the (unreported) SSIM
+            if not np.isfinite(psnr):
+                psnr = 99.0  # the host path's mse==0 guard (finetune.py:165-173)
+            if len(dev_m) > 2:
+                ious = [float(v) for v in dev_m[2]]
+        else:
+            psnr = calculate_psnr(pred255, clean255)
         msg = f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> PSNR: {psnr:.2f}"
         if opt.compute_iq_iou:
-            ious = compute_iq_iou(pred255, clean255, opt.iq_low_q, opt.iq_high_q)
+            if ious is None:
+                ious = compute_iq_iou(pred255, clean255, opt.iq_low_q, opt.iq_high_q)
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
         writer.add(psnr=psnr, ious=ious)
         print(msg)

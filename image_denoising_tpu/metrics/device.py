@@ -18,7 +18,7 @@ behind ``--device_metrics``.
 """
 from __future__ import annotations
 
-__all__ = ["frame_psnr_ssim", "make_device_metrics"]
+__all__ = ["frame_psnr_ssim", "frame_iq_iou", "make_device_metrics"]
 
 
 def frame_psnr_ssim(pred255, clean255):
@@ -42,8 +42,55 @@ def frame_psnr_ssim(pred255, clean255):
     return psnr, ssim_jax(pb, cb).mean()
 
 
-def make_device_metrics():
-    """Build a jitted ``(pred_u8[F,H,W], clean_u8[F,H,W]) -> (psnr[F], ssim[F])``."""
+def frame_iq_iou(pred255, clean255, low_q: float = 0.25, high_q: float = 0.75):
+    """Score the 3-class intensity-quantized IoU for ONE frame on device.
+
+    Mirrors ``metrics.iq_iou.compute_iq_iou`` (reference
+    ``evaluation_704_iqsl.py:38-83``): thresholds are the (low_q, high_q)
+    quantiles of the *ground-truth* gray frame; both frames quantize into
+    {dark, mid, bright}; per-class IoU, NaN when a class is empty in both.
+    Returns a ``[3]`` float32 vector. Trace-time only (call inside jit).
+
+    Matches the host path exactly except when a float32 quantile rounds
+    across a pixel value the float64 host quantile does not — pixels take
+    only 256 distinct gray levels, so this needs the interpolated threshold
+    to land within half an ulp of a level (not observed in tests).
+    """
+    import jax.numpy as jnp
+
+    gt = clean255.astype(jnp.float32)
+    pr = pred255.astype(jnp.float32)
+    if gt.ndim == 3:
+        gt, pr = gt.mean(axis=-1), pr.mean(axis=-1)
+    gt, pr = gt / 255.0, pr / 255.0
+    t1, t2 = jnp.quantile(gt, low_q), jnp.quantile(gt, high_q)
+
+    def labels(g):
+        # host assignment order: dark, then mid, then bright — the bright
+        # write wins on overlap (g >= t2), so test it first here
+        return jnp.where(g >= t2, 2, jnp.where(g <= t1, 0, 1))
+
+    gl, pl = labels(gt), labels(pr)
+    ious = []
+    for k in range(3):
+        gk, pk = gl == k, pl == k
+        inter = jnp.sum(gk & pk).astype(jnp.float32)
+        union = jnp.sum(gk | pk).astype(jnp.float32)
+        ious.append(jnp.where(union == 0, jnp.nan, inter / jnp.maximum(union, 1.0)))
+    return jnp.stack(ious)
+
+
+def make_device_metrics(iq_iou: bool = False, low_q: float = 0.25,
+                        high_q: float = 0.75):
+    """Build a jitted burst scorer: ``(pred_u8[F,H,W], clean_u8[F,H,W]) ->
+    (psnr[F], ssim[F])``, plus ``ious[F,3]`` when ``iq_iou`` is set."""
     import jax
 
-    return jax.jit(jax.vmap(frame_psnr_ssim))
+    if not iq_iou:
+        return jax.jit(jax.vmap(frame_psnr_ssim))
+
+    def score_one(p, c):
+        psnr, ssim = frame_psnr_ssim(p, c)
+        return psnr, ssim, frame_iq_iou(p, c, low_q, high_q)
+
+    return jax.jit(jax.vmap(score_one))

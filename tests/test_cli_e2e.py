@@ -354,7 +354,7 @@ def test_eval_device_metrics_matches_host(fixture_dataset, tmp_path):
     args = [
         "--data_dir", fixture_dataset, "--checkpoint", ckpts[0],
         "--n_feature", "8", "--log_name", "UNetImproved_dm",
-        "--tile", "32", "--overlap", "16",
+        "--tile", "32", "--overlap", "16", "--compute_iq_iou",
     ]
     host_dir = str(tmp_path / "host")
     avg_host = eval704.main(args + ["--save_dir", host_dir])
@@ -367,6 +367,9 @@ def test_eval_device_metrics_matches_host(fixture_dataset, tmp_path):
     assert abs(avg_dm["psnr"] - avg_host["psnr"]) < 1e-3
     assert abs(avg_dm["ssim"] - avg_host["ssim"]) < 1e-5
     np.testing.assert_allclose(avg_dm["l1"], avg_host["l1"], rtol=1e-6)
+    # IQ-IoU scored on device (f32 GT-quantile thresholds) vs host f64
+    for key in ("iou_dark", "iou_mid", "iou_bright"):
+        np.testing.assert_allclose(avg_dm[key], avg_host[key], atol=1e-6)
     from PIL import Image
 
     for f in sorted(os.listdir(host_dir)):
@@ -384,6 +387,8 @@ def test_eval_device_metrics_matches_host(fixture_dataset, tmp_path):
     )
     assert abs(avg_none["psnr"] - avg_dm["psnr"]) < 1e-5
     assert abs(avg_none["ssim"] - avg_dm["ssim"]) < 1e-6
+    for key in ("iou_dark", "iou_mid", "iou_bright"):
+        np.testing.assert_allclose(avg_none[key], avg_host[key], atol=1e-6)
     assert not [f for f in os.listdir(none_dir) if f.endswith(".png")]
 
 

@@ -173,6 +173,19 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
     assert not [f for f in os.listdir(tmp_path / "eval_mem_none")
                 if f.endswith(".png")]
 
+    # --device_metrics: PSNR + IQ-IoU scored on device (f32) against the
+    # host f32-PSNR/f64-quantile pass; with --save_images none predictions
+    # are never fetched (scalars-only D2H)
+    avg_dm = evaluation_704_iqsl_memory.main(
+        eval_args + ["--save_dir", str(tmp_path / "eval_mem_dm"),
+                     "--frame_burst", "2", "--device_metrics",
+                     "--save_images", "none"])
+    assert abs(avg_dm["psnr"] - avg["psnr"]) < 1e-3
+    for key in ("iou_dark", "iou_mid", "iou_bright"):
+        np.testing.assert_allclose(avg_dm[key], avg[key], atol=1e-6)
+    assert not [f for f in os.listdir(tmp_path / "eval_mem_dm")
+                if f.endswith(".png")]
+
 
 def test_finetune_memory_bf16_cli(fixture_dataset, base_ckpt, tmp_path):
     """--dtype bfloat16 through the memory finetune + memory eval CLIs

@@ -143,3 +143,32 @@ def test_device_metrics_batched(rng):
     # identical frames -> +inf, matching the un-guarded host variant
     psnr_i, _ = make_device_metrics()(clean, clean)
     assert np.all(np.isinf(np.asarray(psnr_i)))
+
+
+def test_device_iq_iou_matches_host(rng):
+    """frame_iq_iou mirrors compute_iq_iou (GT-quantile thresholds, 3-class
+    IoU, NaN-on-empty-union) on device; make_device_metrics(iq_iou=True)
+    returns it as the third output."""
+    from image_denoising_tpu.metrics import make_device_metrics
+
+    frames = [_pair(rng, shape=(72, 80)) for _ in range(3)]
+    pred = np.stack([n for _, n in frames]).astype(np.uint8)
+    clean = np.stack([c for c, _ in frames]).astype(np.uint8)
+    fn = make_device_metrics(iq_iou=True, low_q=0.2, high_q=0.8)
+    psnr_d, ssim_d, ious_d = (np.asarray(x) for x in fn(pred, clean))
+    assert ious_d.shape == (3, 3)
+    for k in range(3):
+        host = compute_iq_iou(pred[k], clean[k], 0.2, 0.8)
+        np.testing.assert_allclose(ious_d[k], host, atol=1e-7)
+        assert abs(psnr_d[k] - calculate_psnr(pred[k], clean[k],
+                                              zero_mse_psnr=None)) < 1e-3
+
+    # constant frames: t1 == t2 -> everything lands in 'bright' (the host's
+    # last assignment wins); dark/mid unions are empty -> NaN, bright IoU 1
+    const = np.full((2, 16, 16), 77, np.uint8)
+    _, _, ious_c = fn(const, const)
+    ious_c = np.asarray(ious_c)
+    host_c = compute_iq_iou(const[0], const[0])
+    assert np.isnan(ious_c[0, 0]) and np.isnan(host_c[0])
+    assert np.isnan(ious_c[0, 1]) and np.isnan(host_c[1])
+    assert ious_c[0, 2] == 1.0 and host_c[2] == 1.0

@@ -195,13 +195,20 @@ def check_device_metrics():
     pred = np.clip(
         clean.astype(np.float32) + rng.normal(0, 12, clean.shape), 0, 255
     ).astype(np.uint8)
-    psnr_d, ssim_d = jax.block_until_ready(make_device_metrics()(pred, clean))
-    psnr_d, ssim_d = np.asarray(psnr_d), np.asarray(ssim_d)
+    fn = make_device_metrics(iq_iou=True)
+    psnr_d, ssim_d, ious_d = (
+        np.asarray(x) for x in jax.block_until_ready(fn(pred, clean))
+    )
+    from image_denoising_tpu.metrics import compute_iq_iou
+
     for k in range(4):
         dp = abs(psnr_d[k] - calculate_psnr(pred[k], clean[k], zero_mse_psnr=None))
         ds = abs(ssim_d[k] - calculate_ssim(pred[k], clean[k]))
         assert dp < 1e-2 and ds < 1e-4, (k, dp, ds)
-    print("device metrics OK: TPU f32 PSNR/SSIM within 1e-2 dB / 1e-4 of host f64")
+        di = np.abs(ious_d[k] - compute_iq_iou(pred[k], clean[k])).max()
+        assert di < 1e-6, (k, di)
+    print("device metrics OK: TPU f32 PSNR/SSIM/IQ-IoU within "
+          "1e-2 dB / 1e-4 / 1e-6 of host f64")
 
 
 if __name__ == "__main__":
