@@ -26,6 +26,12 @@ def parse_args(argv=None):
     parser.add_argument("--n_feature", type=int, default=48)
     parser.add_argument("--n_channel", type=int, default=1)
     parser.add_argument("--adapter_hidden", type=int, default=16)
+    parser.add_argument("--save_images", type=str, default="denoised",
+                        choices=["denoised", "none"],
+                        help="'denoised' writes *_denoised.png per frame "
+                             "(the reference behavior); 'none' computes "
+                             "metrics only (PNG encode dominates host wall "
+                             "on a 1-core box, docs/PERF.md §9)")
     from .common import add_dtype_flag
 
     add_dtype_flag(parser)
@@ -101,18 +107,21 @@ def main(argv=None):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
         pred = preds[idx]
         pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        vis = pred255.squeeze(-1) if pred255.shape[-1] == 1 else pred255
-        save_path = os.path.join(opt.save_dir, f"{base_name}_denoised.png")
-        save_png(vis, save_path, mode="L" if vis.ndim == 2 else "RGB")
+        note = "metrics only"
+        if getattr(opt, "save_images", "denoised") != "none":
+            vis = pred255.squeeze(-1) if pred255.shape[-1] == 1 else pred255
+            save_path = os.path.join(opt.save_dir, f"{base_name}_denoised.png")
+            save_png(vis, save_path, mode="L" if vis.ndim == 2 else "RGB")
+            note = f"saved to {save_path}"
 
         if has_clean and idx < len(clean_paths):
             clean_img = load_image_f32(clean_paths[idx])
             psnr = calculate_psnr(pred255.squeeze(), clean_img)
             psnrs.append(psnr)
             print(f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → "
-                  f"PSNR={psnr:.2f} dB, saved to {save_path}")
+                  f"PSNR={psnr:.2f} dB, {note}")
         else:
-            print(f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → saved to {save_path}")
+            print(f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → {note}")
 
     print("Inference with adapter model finished.")
     return float(np.mean(psnrs)) if psnrs else None

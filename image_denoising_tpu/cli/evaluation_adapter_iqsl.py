@@ -31,6 +31,12 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
+    parser.add_argument("--save_images", type=str, default="denoised",
+                        choices=["denoised", "none"],
+                        help="'denoised' writes *_denoised.png per frame "
+                             "(the reference behavior); 'none' computes "
+                             "metrics only (PNG encode dominates host wall "
+                             "on a 1-core box, docs/PERF.md §9)")
     from .common import add_dtype_flag
 
     add_dtype_flag(parser)
@@ -83,8 +89,10 @@ def main(argv=None):
     for idx, n_path in enumerate(noise_paths):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
         pred255 = np.clip(preds[idx] * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze()
-        save_png(pred255, os.path.join(opt.save_dir, f"{base_name}_denoised.png"),
-                 mode="L" if pred255.ndim == 2 else "RGB")
+        if getattr(opt, "save_images", "denoised") != "none":
+            save_png(pred255,
+                     os.path.join(opt.save_dir, f"{base_name}_denoised.png"),
+                     mode="L" if pred255.ndim == 2 else "RGB")
 
         if has_clean and idx < len(clean_paths):
             clean_img = load_image_f32(clean_paths[idx])

@@ -76,6 +76,20 @@ def test_finetune_adapter_and_eval(fixture_dataset, base_ckpt, tmp_path):
         "--n_feature", "16",
     ])
     assert avg_psnr is not None and avg_psnr > 5.0
+    assert [f for f in os.listdir(tmp_path / "infer") if f.endswith(".png")]
+
+    # --save_images none: identical metrics, zero PNGs
+    avg_none = evaluation_adapter.main([
+        "--data_dir", fixture_dataset,
+        "--ckpt", ckpt,
+        "--arch", "UNetImproved",
+        "--save_dir", str(tmp_path / "infer_none"),
+        "--n_feature", "16",
+        "--save_images", "none",
+    ])
+    np.testing.assert_allclose(avg_none, avg_psnr, rtol=1e-6)
+    assert not [f for f in os.listdir(tmp_path / "infer_none")
+                if f.endswith(".png")]
 
 
 def test_finetune_iqsl_and_adapter_iqsl_eval(fixture_dataset, base_ckpt, tmp_path):
@@ -98,16 +112,26 @@ def test_finetune_iqsl_and_adapter_iqsl_eval(fixture_dataset, base_ckpt, tmp_pat
     adapter_ckpt = os.path.join(save_root, "ft_iqsl_test", "epoch_adapter_only_001.ckpt")
     assert os.path.exists(adapter_ckpt)
 
-    avg = evaluation_adapter_iqsl.main([
+    eval_args = [
         "--data_dir", fixture_dataset,
         "--base_ckpt", base_ckpt,
         "--adapter_ckpt", adapter_ckpt,
         "--arch", "UNetImproved",
-        "--save_dir", str(tmp_path / "infer_iqsl"),
         "--n_feature", "16",
         "--compute_iq_iou",
-    ])
+    ]
+    avg = evaluation_adapter_iqsl.main(
+        eval_args + ["--save_dir", str(tmp_path / "infer_iqsl")])
     assert "psnr" in avg and "iou_dark" in avg
+
+    # --save_images none: identical metrics, zero PNGs
+    avg_none = evaluation_adapter_iqsl.main(
+        eval_args + ["--save_dir", str(tmp_path / "infer_iqsl_none"),
+                     "--save_images", "none"])
+    for k in avg:
+        np.testing.assert_allclose(avg_none[k], avg[k], rtol=1e-6, err_msg=k)
+    assert not [f for f in os.listdir(tmp_path / "infer_iqsl_none")
+                if f.endswith(".png")]
 
 
 def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
