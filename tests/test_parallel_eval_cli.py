@@ -84,11 +84,23 @@ def test_eval704_parallel_identical(fixture_dataset, ckpts, tmp_path):
         "--tile", "32",
         "--overlap", "16",
         "--tile_batch", "0",
+        "--compute_iq_iou",
     ]
-    evaluation_704.main(args + ["--save_dir", str(tmp_path / "single")])
+    avg = evaluation_704.main(args + ["--save_dir", str(tmp_path / "single")])
     evaluation_704.main(args + ["--save_dir", str(tmp_path / "par"), "--parallel"])
     single, par = _pngs(tmp_path / "single"), _pngs(tmp_path / "par")
     assert single and single == par
+
+    # --device_metrics composes with --parallel: the scoring program consumes
+    # the still-mesh-sharded burst output; metrics must match the host pass
+    avg_dm = evaluation_704.main(
+        args + ["--save_dir", str(tmp_path / "par_dm"), "--parallel",
+                "--device_metrics"])
+    assert abs(avg_dm["psnr"] - avg["psnr"]) < 1e-3
+    assert abs(avg_dm["ssim"] - avg["ssim"]) < 1e-5
+    for key in ("iou_dark", "iou_mid", "iou_bright"):
+        np.testing.assert_allclose(avg_dm[key], avg[key], atol=1e-6)
+    assert single == _pngs(tmp_path / "par_dm")
 
 
 def test_adapter_eval_parallel_identical(fixture_dataset, ckpts, tmp_path):
