@@ -58,9 +58,37 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
     one dynamic gather. ``use_pallas=True`` switches to the streaming Pallas
     kernel (memory/retrieval_pallas.py) that never materializes [B,N] —
     preferable at production bank sizes (stride 4 ⇒ N ~ 1e5).
+
+    An **int8 bank** (``build_memory_bank(bank_dtype="int8")``) switches to
+    exact integer distances on the MXU's double-rate int8 path: queries are
+    uint8-sourced (x = k/255), so ``round(x·255) − 128`` recovers the
+    centered byte exactly and a²+b²−2ab accumulates in int32 with zero
+    rounding — 4× less bank HBM than f32 and immune to the f32 path's
+    near-tie misranking. Not combinable with ``use_pallas`` (f32/bf16 kernel).
     """
     b = noisy.shape[0]
     noisy_flat = jax.lax.stop_gradient(noisy).reshape(b, -1)
+    if memory_noise_flat.dtype == jnp.int8:
+        if use_pallas:
+            raise ValueError(
+                "int8 banks use the XLA retrieval path; the streaming Pallas "
+                "kernel is f32/bf16 — drop --pallas_retrieval or use "
+                "--bank_dtype float32/bfloat16"
+            )
+        q = (jnp.round(noisy_flat * 255.0) - 128.0).astype(jnp.int8)
+        qi = q.astype(jnp.int32)
+        if sq_norms is None:
+            bi = memory_noise_flat.astype(jnp.int32)
+            sq_norms = jnp.sum(bi * bi, axis=1)
+        a2 = jnp.sum(qi * qi, axis=1, keepdims=True)  # [B,1] int32
+        ab = jax.lax.dot_general(
+            q, memory_noise_flat,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [B,N] int32, exact
+        dists = a2 + sq_norms[None, :].astype(jnp.int32) - 2 * ab
+        idx = jnp.argmin(dists, axis=1)
+        return jnp.take(memory_clean, idx, axis=0)
     if sq_norms is None:
         sq_norms = jnp.sum(memory_noise_flat.astype(jnp.float32) ** 2, axis=1)
     if use_pallas:

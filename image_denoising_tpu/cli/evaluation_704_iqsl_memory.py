@@ -48,7 +48,12 @@ def parse_args(argv=None):
                              "per-chip bank HBM drops to 1/k; implies "
                              "--parallel")
     parser.add_argument("--bank_dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16"])
+                        choices=["float32", "bfloat16", "int8"],
+                        help="noise-bank storage dtype. bf16 halves HBM; "
+                             "int8 quarters it AND computes exact integer "
+                             "distances on the MXU's double-rate int8 path "
+                             "(uint8-sourced patches; not combinable with "
+                             "--pallas_retrieval)")
     parser.add_argument("--tile_batch", type=int, default=-8,
                         help="-k = lax.map scan over k-tile chunks; 0 = one "
                              "batch. Default -8 fills the TPU sublane dim "
@@ -83,6 +88,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     opt = parse_args(argv)
+    if opt.bank_dtype == "int8" and opt.pallas_retrieval:
+        raise SystemExit(
+            "--bank_dtype int8 computes exact integer distances on the XLA "
+            "retrieval path; drop --pallas_retrieval (the streaming Pallas "
+            "kernel is f32/bf16)"
+        )
 
     from ..adapters import DenoiserWithMemoryAdapter
     from ..ckpt import load_checkpoint

@@ -64,8 +64,12 @@ def parse_args(argv=None):
                              "inference-only inside the step. Composes with "
                              "--parallel (batch DP).")
     parser.add_argument("--bank_dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16"],
-                        help="noise-bank storage dtype (bf16 halves HBM)")
+                        choices=["float32", "bfloat16", "int8"],
+                        help="noise-bank storage dtype. bf16 halves HBM; "
+                             "int8 quarters it AND computes exact integer "
+                             "distances on the MXU's double-rate int8 path "
+                             "(uint8-sourced patches; not combinable with "
+                             "--pallas_retrieval)")
     parser.add_argument("--seed", type=int, default=0)
     from .common import add_dtype_flag
 
@@ -76,6 +80,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     opt = parse_args(argv)
+    if opt.bank_dtype == "int8" and opt.pallas_retrieval:
+        raise SystemExit(
+            "--bank_dtype int8 computes exact integer distances on the XLA "
+            "retrieval path; drop --pallas_retrieval (the streaming Pallas "
+            "kernel is f32/bf16)"
+        )
     systime = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M")
 
     import jax

@@ -10,8 +10,15 @@ TPU-native design:
 * extraction is a zero-copy host ``sliding_window_view`` (no im2col buffer),
 * the noise bank is stored FLATTENED [N, P·P·C] and optionally bfloat16 —
   halving HBM and letting the retrieval matmul hit the MXU natively with f32
-  accumulation (`preferred_element_type`),
-* squared norms are precomputed once (the ``b²`` term of a²+b²−2ab),
+  accumulation (`preferred_element_type`) — or **int8**: source images are
+  uint8, so patches are stored centered (k−128 ∈ [−128,127]) and distances
+  compute EXACTLY in integer arithmetic on the MXU's double-rate int8 path
+  (int32 accumulation; ‖a−b‖² is shift-invariant, so centering changes
+  nothing). 4× less bank HBM than f32 and *more* exact than the f32 path
+  (f32 distance rounding can misrank near-ties; integers cannot),
+* squared norms are precomputed once (the ``b²`` term of a²+b²−2ab) — f32 in
+  the [0,1] domain, int32 in the centered-int domain for int8 banks (the
+  norms exceed 2²⁴, so f32 storage would break integer exactness),
 * the clean bank keeps float32 for exact adapter inputs.
 
 Patch ordering matches torch unfold (row-major over valid positions), so
@@ -45,9 +52,9 @@ def extract_patches(img: np.ndarray, patch_size: int, stride: int) -> np.ndarray
 class MemoryBank:
     """Device-resident (noise, clean) patch bank with precomputed norms."""
 
-    noise_flat: Any  # [N, D] device array (possibly bf16)
+    noise_flat: Any  # [N, D] device array (f32 / bf16 / centered int8)
     clean: Any  # [N, P, P, C] device array f32
-    sq_norms: Any  # [N] f32 — ‖noise_i‖²
+    sq_norms: Any  # [N] ‖noise_i‖² — f32 ([0,1] domain) or int32 (int8 banks)
     patch_size: int
     stride: int
 
@@ -90,6 +97,30 @@ def build_memory_bank(
     noise = np.concatenate(all_noise, axis=0)
     n = noise.shape[0]
     noise_flat = noise.reshape(n, -1)
+
+    if bank_dtype == "int8":
+        # centered exact-integer bank: inputs are uint8-sourced, so
+        # round(x·255) recovers the original byte exactly; −128 recenters
+        # into int8 range (distances are shift-invariant)
+        assert not pad_to, (
+            "int8 banks use the XLA retrieval path (the streaming Pallas "
+            "kernel is f32/bf16) — build without pad_to / --pallas_retrieval"
+        )
+        noise_int = np.round(noise_flat * 255.0).astype(np.int32) - 128
+        sq_norms = np.sum(noise_int * noise_int, axis=1, dtype=np.int64)
+        assert sq_norms.max(initial=0) < np.iinfo(np.int32).max
+        print(
+            f"[MemoryBank] #clean patches={n}, patch_size={patch_size}, "
+            f"stride={stride}, dtype=int8 (exact integer distances)"
+        )
+        return MemoryBank(
+            noise_flat=jnp.asarray(noise_int.astype(np.int8)),
+            clean=jnp.asarray(clean, jnp.float32),
+            sq_norms=jnp.asarray(sq_norms.astype(np.int32)),
+            patch_size=patch_size,
+            stride=stride,
+        )
+
     sq_norms = np.sum(noise_flat.astype(np.float32) ** 2, axis=1)
 
     if pad_to:

@@ -49,8 +49,12 @@ def shard_bank(bank: MemoryBank, mesh: Mesh, axis_name: str = "data") -> MemoryB
         noise = jnp.concatenate(
             [noise, jnp.zeros((n_pad, noise.shape[1]), noise.dtype)], axis=0
         )
+        # padded rows must never win: +inf norms (f32/bf16 banks) or int32
+        # max (int8 banks, whose exact distances stay < 2·128²·D < 2³¹−1)
+        pad_val = (jnp.iinfo(jnp.int32).max
+                   if jnp.issubdtype(norms.dtype, jnp.integer) else jnp.inf)
         norms = jnp.concatenate(
-            [norms, jnp.full((n_pad,), jnp.inf, norms.dtype)], axis=0
+            [norms, jnp.full((n_pad,), pad_val, norms.dtype)], axis=0
         )
         clean = jnp.concatenate(
             [clean, jnp.zeros((n_pad,) + clean.shape[1:], clean.dtype)], axis=0
@@ -91,7 +95,14 @@ def make_ring_retrieval(
         b = noisy.shape[0]
         q = jax.lax.stop_gradient(noisy).reshape(b, -1)
 
-        best_d = jnp.full((b,), jnp.inf, jnp.float32)
+        int_bank = bank_noise.dtype == jnp.int8
+        if int_bank:
+            # exact-integer mode (see select_memory_patch): recenter the
+            # uint8-sourced queries and accumulate b²−2ab in int32
+            q = (jnp.round(q * 255.0) - 128.0).astype(jnp.int8)
+            best_d = jnp.full((b,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        else:
+            best_d = jnp.full((b,), jnp.inf, jnp.float32)
         best_i = jnp.full((b,), jnp.iinfo(jnp.int32).max, jnp.int32)
         best_c = jnp.zeros((b,) + bank_clean.shape[1:], bank_clean.dtype)
 
@@ -102,15 +113,18 @@ def make_ring_retrieval(
         for s in range(k):
             owner = (me + s) % k  # shard originally resident on this rank
             # distance up to the per-query constant ‖q‖²: b² − 2ab (one MXU
-            # dot with f32 accumulation); the constant cancels in argmin and
-            # its omission is uniform across shards, so cross-shard
-            # comparisons stay consistent.
+            # dot with f32 — or exact int32 — accumulation); the constant
+            # cancels in argmin and its omission is uniform across shards,
+            # so cross-shard comparisons stay consistent.
             ab = jax.lax.dot_general(
-                q.astype(bank.dtype), bank,
+                q if int_bank else q.astype(bank.dtype), bank,
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if int_bank else jnp.float32,
             )
-            d = norms[None, :] - 2.0 * ab  # [B, n_local]
+            if int_bank:
+                d = norms[None, :].astype(jnp.int32) - 2 * ab  # [B, n_local]
+            else:
+                d = norms[None, :] - 2.0 * ab  # [B, n_local]
             loc_min = jnp.min(d, axis=1)
             loc_arg = jnp.argmin(d, axis=1).astype(jnp.int32)  # first-min
             glob_idx = owner * n_local + loc_arg

@@ -186,3 +186,120 @@ def test_shard_batch_non_divisible_trains(rng):
     b = jax.tree_util.tree_leaves(s_mesh.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def _int8_twin_banks(rng, n, ps=8, c=1):
+    """(int8 bank, f32 twin) over the SAME uint8-sourced patches."""
+    noise_u8 = rng.integers(0, 256, (n, ps * ps * c)).astype(np.uint8)
+    clean = rng.random((n, ps, ps, c)).astype(np.float32)
+    noise_i = noise_u8.astype(np.int32) - 128
+    i8 = MemoryBank(
+        noise_flat=jnp.asarray(noise_i.astype(np.int8)),
+        clean=jnp.asarray(clean),
+        sq_norms=jnp.asarray(np.sum(noise_i * noise_i, axis=1).astype(np.int32)),
+        patch_size=ps,
+        stride=4,
+    )
+    f = noise_u8.astype(np.float32) / 255.0
+    f32 = MemoryBank(
+        noise_flat=jnp.asarray(f),
+        clean=jnp.asarray(clean),
+        sq_norms=jnp.asarray(np.sum(f * f, axis=1)),
+        patch_size=ps,
+        stride=4,
+    )
+    return i8, f32, noise_u8
+
+
+def test_int8_retrieval_matches_f32(rng):
+    """int8 banks (exact integer distances on the int8 MXU path) retrieve the
+    same patches as the f32 path on uint8-sourced data; tie-breaking stays
+    first-min; combining with the Pallas kernel raises."""
+    i8, f32, noise_u8 = _int8_twin_banks(rng, 33)
+    q_u8 = rng.integers(0, 256, (7, 8, 8, 1)).astype(np.uint8)
+    queries = jnp.asarray(q_u8.astype(np.float32) / 255.0)
+
+    expected = select_memory_patch(queries, f32.noise_flat, f32.clean,
+                                   f32.sq_norms)
+    got = select_memory_patch(queries, i8.noise_flat, i8.clean, i8.sq_norms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=0)
+
+    # sq_norms=None recomputes the int-domain norms in-graph
+    got2 = select_memory_patch(queries, i8.noise_flat, i8.clean, None)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(expected), atol=0)
+
+    # exact-duplicate query + duplicated bank row -> FIRST index wins
+    # (integer distances are exactly equal, so this pins the tie-break)
+    _, f32_dup, nb = _int8_twin_banks(rng, 16)
+    nb[11] = nb[3]
+    noise_i = nb.astype(np.int32) - 128
+    i8_dup = MemoryBank(
+        noise_flat=jnp.asarray(noise_i.astype(np.int8)),
+        clean=f32_dup.clean,
+        sq_norms=jnp.asarray(np.sum(noise_i * noise_i, axis=1).astype(np.int32)),
+        patch_size=8,
+        stride=4,
+    )
+    qdup = jnp.asarray(nb[11].astype(np.float32).reshape(1, 8, 8, 1) / 255.0)
+    got_dup = select_memory_patch(qdup, i8_dup.noise_flat, i8_dup.clean,
+                                  i8_dup.sq_norms)
+    np.testing.assert_allclose(np.asarray(got_dup)[0],
+                               np.asarray(f32_dup.clean)[3], atol=0)
+
+    with pytest.raises(ValueError, match="int8"):
+        select_memory_patch(queries, i8.noise_flat, i8.clean, i8.sq_norms,
+                            use_pallas=True)
+
+
+def test_int8_ring_matches_replicated(rng):
+    """Ring retrieval over a sharded int8 bank (int32-max padding rows) ==
+    the replicated int8 path."""
+    mesh = make_mesh(8)
+    i8, _, _ = _int8_twin_banks(rng, 44)  # 44 % 8 != 0 -> pads to 48
+    q_u8 = rng.integers(0, 256, (16, 8, 8, 1)).astype(np.uint8)
+    queries = jnp.asarray(q_u8.astype(np.float32) / 255.0)
+
+    expected = select_memory_patch(queries, i8.noise_flat, i8.clean,
+                                   i8.sq_norms)
+    sbank = shard_bank(i8, mesh, "data")
+    assert sbank.noise_flat.dtype == jnp.int8
+    assert np.asarray(sbank.sq_norms)[-1] == np.iinfo(np.int32).max
+    ring = make_ring_retrieval(mesh, "data", queries_sharded=True)
+    got = jax.jit(ring)(queries, sbank.noise_flat, sbank.clean, sbank.sq_norms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=0)
+
+
+def test_memory_finetune_step_int8_bank_matches_f32(rng):
+    """The memory finetune step with an int8 bank produces the same adapter
+    update as with the f32 twin bank (identical retrieved patches; gradients
+    never flow through the integer retrieval — it sits under stop_gradient)."""
+    from image_denoising_tpu.adapters import DenoiserWithMemoryAdapter
+    from image_denoising_tpu.models import UNet
+    from image_denoising_tpu.train import create_train_state
+    from image_denoising_tpu.train.finetune_steps import make_memory_finetune_step
+
+    base = UNet(in_nc=1, out_nc=1, n_feature=8)
+    i8, f32, _ = _int8_twin_banks(rng, 20, ps=32)
+    clean_u8 = rng.integers(0, 256, (4, 32, 32, 1)).astype(np.uint8)
+    noisy_u8 = rng.integers(0, 256, (4, 32, 32, 1)).astype(np.uint8)
+    clean01 = jnp.asarray(clean_u8.astype(np.float32) / 255.0)
+    noisy01 = jnp.asarray(noisy_u8.astype(np.float32) / 255.0)
+
+    wrapper = DenoiserWithMemoryAdapter(base=base, hidden_channels=8)
+    results = {}
+    for name, bk in (("f32", f32), ("int8", i8)):
+        variables = jax.jit(wrapper.init)(
+            jax.random.PRNGKey(0), noisy01, bk.noise_flat, bk.clean, bk.sq_norms
+        )
+        base_params = variables["params"]["base"]
+        state = create_train_state(variables["params"]["adapter"], lr=1e-3)
+        step = make_memory_finetune_step(wrapper.apply, lambda_grad=0.1)
+        for _ in range(2):
+            state, m = step(state, base_params, clean01, noisy01,
+                            bk.noise_flat, bk.clean, bk.sq_norms)
+        results[name] = (float(m["loss"]), state.params)
+
+    (loss_f, p_f), (loss_i, p_i) = results["f32"], results["int8"]
+    assert abs(loss_f - loss_i) < 1e-7, (loss_f, loss_i)
+    for a, b in zip(jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_i)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

@@ -120,6 +120,25 @@ def check_memory_wrapper_at_scale():
         np.asarray(got_pallas), np.asarray(got_xla), atol=0
     )
 
+    # int8 bank: exact integer distances on the MXU's int8 path must pick
+    # the same patches as f32 on uint8-sourced data (CPU pins semantics;
+    # this verifies the TPU int8 dot produces exact int32 accumulation)
+    bank_u8 = rng.integers(0, 256, (n, d)).astype(np.uint8)
+    bank_i = bank_u8.astype(np.int32) - 128
+    q_u8 = bank_u8[rng.integers(0, n, 4)].reshape(4, p, p, c)
+    got_i8 = select_memory_patch(
+        jnp.asarray(q_u8.astype(np.float32) / 255.0),
+        jnp.asarray(bank_i.astype(np.int8)), jnp.asarray(bank_clean),
+        jnp.asarray(np.sum(bank_i * bank_i, axis=1).astype(np.int32)),
+    )
+    got_f32 = select_memory_patch(
+        jnp.asarray(q_u8.astype(np.float32) / 255.0),
+        jnp.asarray(bank_u8.astype(np.float32) / 255.0),
+        jnp.asarray(bank_clean), None,
+    )
+    np.testing.assert_allclose(np.asarray(got_i8), np.asarray(got_f32), atol=0)
+    print("int8 bank retrieval OK: exact-match with f32 on hardware")
+
     # whole wrapper forward with pallas retrieval — one compile only
     # (init_with_output runs the full forward; a second jit of the same
     # forward has been seen to overload this host's remote-compile tunnel)
