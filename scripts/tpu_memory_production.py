@@ -9,6 +9,11 @@ v5e chip holds the production bank with `--bank_dtype bfloat16` and streams
 it through the Pallas retrieval kernel.
 
 Writes PNGs + metrics under /tmp/mem_prod; prints one JSON line at the end.
+
+Usage: python scripts/tpu_memory_production.py [bank_mode]
+  bank_mode: "bf16_pallas" (default — bf16 bank + streaming Pallas kernel),
+  "int8" (centered int8 bank, exact integer distances, XLA retrieval —
+  1.7 GB noise bank), or "f32" (10.3 GB f32 banks, XLA retrieval).
 """
 from __future__ import annotations
 
@@ -79,6 +84,13 @@ def main():
         "adapter_only", 1,
     )
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bf16_pallas"
+    bank_flags = {
+        "bf16_pallas": ["--bank_dtype", "bfloat16", "--pallas_retrieval"],
+        "int8": ["--bank_dtype", "int8"],
+        "f32": ["--bank_dtype", "float32"],
+    }[mode]
+
     t0 = time.perf_counter()
     avg = mem_cli.main([
         "--data_dir", root,
@@ -91,16 +103,14 @@ def main():
         "--overlap", "64",
         "--num_memory_images", "5",
         "--memory_stride", "4",
-        "--bank_dtype", "bfloat16",
-        "--pallas_retrieval",
         "--dtype", "bfloat16",
         "--frame_burst", "4",  # round-3 burst mode (PERF §7: best at 4)
-    ])
+    ] + bank_flags)
     wall = time.perf_counter() - t0
     print(json.dumps({
         "kind": "memory_production", "psnr": round(avg.get("psnr", 0), 2),
         "wall_s": round(wall, 1), "frames": 5,
-        "config": "patch128/overlap64/5imgs/stride4/bf16bank/pallas/burst4",
+        "config": f"patch128/overlap64/5imgs/stride4/{mode}/burst4",
     }))
 
 
