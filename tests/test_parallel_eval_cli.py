@@ -142,7 +142,8 @@ def test_memory_eval_parallel_bank_sharded_identical(fixture_dataset, ckpts, tmp
         # sharding machinery, which must be bit-exact at equal batching.
         "--tile_batch", "0",
     ]
-    evaluation_704_iqsl_memory.main(args + ["--save_dir", str(tmp_path / "single")])
+    avg = evaluation_704_iqsl_memory.main(
+        args + ["--save_dir", str(tmp_path / "single")])
     evaluation_704_iqsl_memory.main(
         args + ["--save_dir", str(tmp_path / "par"), "--parallel"]
     )
@@ -153,3 +154,12 @@ def test_memory_eval_parallel_bank_sharded_identical(fixture_dataset, ckpts, tmp
     assert single
     assert single == _pngs(tmp_path / "par")
     assert single == _pngs(tmp_path / "shard")
+
+    # ring-sharded bank + device metrics: the scorer consumes the
+    # mesh-sharded burst output; PSNR must match the host pass
+    avg_dm = evaluation_704_iqsl_memory.main(
+        args + ["--save_dir", str(tmp_path / "shard_dm"), "--bank_sharded",
+                "--device_metrics", "--save_images", "none"]
+    )
+    assert abs(avg_dm["psnr"] - avg["psnr"]) < 1e-3
+    assert not _pngs(tmp_path / "shard_dm")
