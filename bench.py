@@ -68,8 +68,10 @@ def _wait_for_tpu(budget_s=float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))):
     The tunneled backend has two failure modes: a fast UNAVAILABLE error and
     an indefinite hang inside device init. Neither is recoverable in-process,
     so probe from a killable subprocess (timeout per attempt) and retry until
-    the budget runs out; then proceed and let the real run surface the error.
-    Diagnostics go to stderr — stdout carries only the JSON line.
+    the budget runs out. If the budget exhausts with the pool still down,
+    exit(3) loudly instead of proceeding: the in-process device init would
+    hang forever (the last probe just failed), producing no JSON and no
+    diagnostic. Diagnostics go to stderr — stdout carries only the JSON line.
     """
     import subprocess
 
@@ -92,8 +94,14 @@ def _wait_for_tpu(budget_s=float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))):
         except subprocess.TimeoutExpired:
             print(f"bench: TPU probe {attempt} hung (600s), killed", file=sys.stderr)
         if time.monotonic() >= deadline:
-            print("bench: TPU wait budget exhausted, proceeding", file=sys.stderr)
-            return
+            print(
+                "bench: TPU pool still unavailable after "
+                f"{budget_s:.0f}s wait budget ({attempt} probes) — aborting "
+                "rather than hanging in device init. Re-run when the pool "
+                "recovers, or raise BENCH_TPU_WAIT_S.",
+                file=sys.stderr,
+            )
+            sys.exit(3)
         time.sleep(min(120, max(1, deadline - time.monotonic())))
 
 
