@@ -62,7 +62,7 @@ TRAIN_FLOPS_PER_STEP = 4.2768e12
 BF16_PEAK = {"TPU v5 lite": 197e12}  # chip bf16 peak FLOP/s by device_kind
 
 
-def _wait_for_tpu(budget_s=float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))):
+def _wait_for_tpu(budget_s=None):
     """Ride out a transient axon-pool outage before touching the device.
 
     The tunneled backend has two failure modes: a fast UNAVAILABLE error and
@@ -75,6 +75,10 @@ def _wait_for_tpu(budget_s=float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))):
     """
     import subprocess
 
+    if budget_s is None:
+        # Read at call time, not def time, so in-process callers that set the
+        # env var after importing bench still get their budget honored.
+        budget_s = float(os.environ.get("BENCH_TPU_WAIT_S", "1800"))
     probe = ("import jax, numpy as np; "
              "x = jax.jit(lambda a: a * 2)(np.ones((8, 128), np.float32)); "
              "print('ok', float(np.asarray(x).sum()))")

@@ -46,6 +46,8 @@ __all__ = [
     "add_dtype_flag",
     "resolve_dtype",
     "iter_bursts",
+    "make_clean_post",
+    "drain_burst",
 ]
 
 
@@ -84,6 +86,49 @@ def iter_bursts(by_shape, get_frame, fb, make_runner, extra=(), post=None,
                 yield inflight.pop(0)
         while inflight:
             yield inflight.pop(0)
+
+
+def make_clean_post(get_clean, fb, metrics_fn, pick_pred=lambda out: out):
+    """Build the ``--device_metrics`` ``post()`` for :func:`iter_bursts`.
+
+    Stacks the chunk's clean frames via ``get_clean(j)`` (2-D uint8), pads
+    the tail chunk by repeating its last frame — the SAME padding rule
+    ``iter_bursts`` applies to the noisy batch, kept in one place so the
+    two stacks can never diverge — and scores the still-device-resident
+    predictions with ``metrics_fn``. ``pick_pred`` selects the prediction
+    array from the runner output (e.g. ``out[0]`` when the runner also
+    returns per-frame L1)."""
+    import jax.numpy as jnp
+
+    def post(chunk, out):
+        cleanf = np.stack([get_clean(j) for j in chunk])
+        if len(chunk) < fb:
+            cleanf = np.concatenate(
+                [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
+            )
+        return metrics_fn(pick_pred(out), jnp.asarray(cleanf))
+
+    return post
+
+
+def drain_burst(item, cache, fetch_pred=True, pick=lambda out: (out, ())):
+    """Fetch one in-flight burst from :func:`iter_bursts` to a host cache.
+
+    ``pick(runner_out) -> (pred_dev, extras_dev)`` splits the runner output
+    into the prediction batch and any per-frame extras (e.g. L1 scalars).
+    Cache entries are ``(pred_or_None, *extras_j, device_metrics_or_None)``;
+    with ``fetch_pred=False`` (``--device_metrics --save_images none``) the
+    prediction batch is never fetched — the per-frame D2H is scalars only.
+    """
+    chunk, out, m_dev = item
+    pred_dev, extras_dev = pick(out)
+    pred = np.asarray(pred_dev) if fetch_pred else None
+    extras = tuple(np.asarray(e) for e in extras_dev)
+    m = tuple(np.asarray(x) for x in m_dev) if m_dev is not None else None
+    for k, j in enumerate(chunk):
+        p = pred[k] if pred is not None else None
+        dm = tuple(x[k] for x in m) if m is not None else None
+        cache[j] = (p, *(e[k] for e in extras), dm)
 
 
 def add_dtype_flag(parser, default: str = "float32") -> None:

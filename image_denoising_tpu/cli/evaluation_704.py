@@ -69,32 +69,12 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _drain_burst(item, cache, fetch_pred: bool = True):
-    """Fetch one in-flight burst's outputs to the host cache.
-
-    Entries are ``(pred_or_None, l1, device_metrics_or_None)`` where
-    device_metrics is ``(psnr, ssim)`` or ``(psnr, ssim, ious[3])`` (with
-    --compute_iq_iou). With --device_metrics and --save_images none the
-    prediction itself is never fetched (``fetch_pred=False``) — the D2H per
-    frame is a handful of scalars."""
-    chunk, (out_dev, l1_dev), m_dev = item
-    out = np.asarray(out_dev) if fetch_pred else None
-    l1 = np.asarray(l1_dev)
-    m = None
-    if m_dev is not None:
-        m = tuple(np.asarray(x) for x in m_dev)
-    for k, j in enumerate(chunk):
-        pred = out[k] if out is not None else None
-        dm = tuple(x[k] for x in m) if m is not None else None
-        cache[j] = (pred, float(l1[k]), dm)
-
-
 def evaluate(opt):
     from ..data import validation_denoise
     from ..eval import denoise_tiled_pyramid
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
-    from .common import (MetricsWriter, build_network, jitted_apply,
-                         load_params, resolve_dtype, save_png)
+    from .common import (MetricsWriter, build_network, drain_burst,
+                         jitted_apply, load_params, resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -139,8 +119,6 @@ def evaluate(opt):
     # (a 1-frame burst still avoids the fetch/re-upload round trip)
     fetch_pred = (not device_metrics) or save_mode != "none"
     if (getattr(opt, "frame_burst", 0) and opt.frame_burst > 1) or device_metrics:
-        import jax.numpy as jnp
-
         from ..eval.tiled import make_tiled_pyramid_runner_frames
 
         fb = max(int(getattr(opt, "frame_burst", 0) or 0), 1)
@@ -168,7 +146,7 @@ def evaluate(opt):
                 )
             by_shape.setdefault(np.shape(nz), []).append(j)
 
-        from .common import iter_bursts
+        from .common import iter_bursts, make_clean_post
 
         def make_runner(h, w):
             return make_tiled_pyramid_runner_frames(
@@ -179,15 +157,11 @@ def evaluate(opt):
         post = None
         if metrics_fn is not None:
             # score the still-device-resident burst against its clean frames
-            def post(chunk, out):
-                cleanf = np.stack(
-                    [np.asarray(clean_imgs[j], np.uint8) for j in chunk]
-                )
-                if len(chunk) < fb:  # same tail padding as the noisy batch
-                    cleanf = np.concatenate(
-                        [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
-                    )
-                return metrics_fn(out[0], jnp.asarray(cleanf))
+            # (the runner returns (preds, l1) — pick_pred selects the preds)
+            post = make_clean_post(
+                lambda j: np.asarray(clean_imgs[j], np.uint8), fb,
+                metrics_fn, pick_pred=lambda out: out[0],
+            )
 
         burst_stream = iter_bursts(
             by_shape, lambda j: np.asarray(noisy_imgs[j], np.uint8), fb,
@@ -205,8 +179,11 @@ def evaluate(opt):
         dev_m = None
         if burst_stream is not None:
             while i not in pred_cache:
-                _drain_burst(next(burst_stream), pred_cache, fetch_pred)
+                # runner output is (preds, l1): cache (pred, l1, metrics)
+                drain_burst(next(burst_stream), pred_cache, fetch_pred,
+                            pick=lambda out: (out[0], (out[1],)))
             pred255, l1_val, dev_m = pred_cache.pop(i)
+            l1_val = float(l1_val)
         else:
             # uint8 quantization (reference: clip(p·255), NO +0.5) on device
             pred255, l1_val = denoise_tiled_pyramid(

@@ -167,15 +167,18 @@ def main(argv=None):
     # --device_metrics needs device-resident predictions → burst pipeline
     fetch_pred = (not device_metrics) or save_mode != "none"
     if (opt.frame_burst and opt.frame_burst > 1) or device_metrics:
-        import jax.numpy as jnp
-
         from ..eval import make_tiled_hann_runner_frames
 
         fb = max(int(opt.frame_burst or 0), 1)
         extra = (params, bank.noise_flat, bank.clean, bank.sq_norms)
 
         def _squeeze2d(a):
-            return a[..., 0] if a.ndim == 3 else a
+            if a.ndim == 3:
+                assert a.shape[-1] == 1, (
+                    f"memory tiled eval is single-channel: got shape {a.shape}"
+                )
+                return a[..., 0]
+            return a
 
         by_shape: dict = {}
         for j, nz in enumerate(noisy_imgs):
@@ -195,29 +198,18 @@ def main(argv=None):
                 )
             by_shape.setdefault(shape, []).append(j)
 
-        from .common import iter_bursts
+        from .common import drain_burst, iter_bursts, make_clean_post
 
         metrics_fn = None
         if device_metrics:
-            # E6 reports PSNR (+ optional IQ-IoU); the scorer's SSIM output
-            # is computed but unused — negligible next to the UNet forward
+            # E6 reports PSNR (+ optional IQ-IoU) only: ssim=False keeps the
+            # unused 11x11 gaussian pass out of the compiled program
             from ..metrics import make_device_metrics
 
             metrics_fn = make_device_metrics(
                 iq_iou=opt.compute_iq_iou,
-                low_q=opt.iq_low_q, high_q=opt.iq_high_q,
+                low_q=opt.iq_low_q, high_q=opt.iq_high_q, ssim=False,
             )
-
-        def _drain(item):
-            chunk, out_dev, m_dev = item
-            out = np.asarray(out_dev) if fetch_pred else None
-            m = None
-            if m_dev is not None:
-                m = tuple(np.asarray(x) for x in m_dev)
-            for k, j in enumerate(chunk):
-                pred = out[k] if out is not None else None
-                dm = tuple(x[k] for x in m) if m is not None else None
-                pred_cache[j] = (pred, dm)
 
         def _get_frame(j):  # (h,w,1) frames squeeze to the bucket shape
             return _squeeze2d(np.asarray(noisy_imgs[j], np.uint8))
@@ -232,16 +224,10 @@ def main(argv=None):
         post = None
         if metrics_fn is not None:
             # score the still-device-resident [F,H,W] burst vs its clean frames
-            def post(chunk, out):
-                cleanf = np.stack(
-                    [_squeeze2d(np.asarray(clean_imgs[j], np.uint8))
-                     for j in chunk]
-                )
-                if len(chunk) < fb:  # same tail padding as the noisy batch
-                    cleanf = np.concatenate(
-                        [cleanf, np.repeat(cleanf[-1:], fb - len(chunk), 0)]
-                    )
-                return metrics_fn(out, jnp.asarray(cleanf))
+            post = make_clean_post(
+                lambda j: _squeeze2d(np.asarray(clean_imgs[j], np.uint8)),
+                fb, metrics_fn,
+            )
 
         burst_stream = iter_bursts(by_shape, _get_frame, fb, make_runner,
                                    extra=extra, post=post)
@@ -254,7 +240,7 @@ def main(argv=None):
         dev_m = None
         if burst_stream is not None:
             while i not in pred_cache:
-                _drain(next(burst_stream))
+                drain_burst(next(burst_stream), pred_cache, fetch_pred)
             pred255, dev_m = pred_cache.pop(i)
         else:
             # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
@@ -272,11 +258,11 @@ def main(argv=None):
 
         ious = None
         if dev_m is not None:
-            psnr = float(dev_m[0])  # dev_m[1] is the (unreported) SSIM
+            psnr = float(dev_m[0])  # ssim=False scorer: (psnr,) or (psnr, ious)
             if not np.isfinite(psnr):
                 psnr = 99.0  # the host path's mse==0 guard (finetune.py:165-173)
-            if len(dev_m) > 2:
-                ious = [float(v) for v in dev_m[2]]
+            if len(dev_m) > 1:
+                ious = [float(v) for v in dev_m[1]]
         else:
             psnr = calculate_psnr(pred255, clean255)
         msg = f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> PSNR: {psnr:.2f}"

@@ -81,16 +81,30 @@ def frame_iq_iou(pred255, clean255, low_q: float = 0.25, high_q: float = 0.75):
 
 
 def make_device_metrics(iq_iou: bool = False, low_q: float = 0.25,
-                        high_q: float = 0.75):
+                        high_q: float = 0.75, ssim: bool = True):
     """Build a jitted burst scorer: ``(pred_u8[F,H,W], clean_u8[F,H,W]) ->
-    (psnr[F], ssim[F])``, plus ``ious[F,3]`` when ``iq_iou`` is set."""
-    import jax
+    (psnr[F], ssim[F])``, plus ``ious[F,3]`` when ``iq_iou`` is set.
 
-    if not iq_iou:
-        return jax.jit(jax.vmap(frame_psnr_ssim))
+    ``ssim=False`` drops the SSIM output AND its 11×11 filtering work from
+    the compiled program — for CLIs that only report PSNR (+IoU), e.g. the
+    memory eval (E6), where compiling an unused gaussian-window pass costs
+    real minutes on a remote-compile backend. The tuple is then
+    ``(psnr,)`` or ``(psnr, ious)``.
+    """
+    import jax
+    import jax.numpy as jnp
 
     def score_one(p, c):
-        psnr, ssim = frame_psnr_ssim(p, c)
-        return psnr, ssim, frame_iq_iou(p, c, low_q, high_q)
+        out = []
+        if ssim:
+            out.extend(frame_psnr_ssim(p, c))
+        else:
+            pf = p.astype(jnp.float32)
+            cf = c.astype(jnp.float32)
+            mse = jnp.mean(jnp.square(pf - cf))
+            out.append(10.0 * jnp.log10(255.0 * 255.0 / mse))
+        if iq_iou:
+            out.append(frame_iq_iou(p, c, low_q, high_q))
+        return tuple(out)
 
     return jax.jit(jax.vmap(score_one))

@@ -48,7 +48,15 @@ def make_dataset(root: str, n: int = 5, hw: int = 704) -> None:
         Image.fromarray(noisy).save(f"{root}/noise/sem0000_{i:02d}.png")
 
 
+MODES = ("bf16_pallas", "int8", "f32")
+
+
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bf16_pallas"
+    if mode not in MODES:
+        # fail before the fixture/checkpoint prep + TPU-tunnel work
+        sys.exit(f"usage: {sys.argv[0]} [{'|'.join(MODES)}] (got {mode!r})")
+
     root = "/tmp/mem_prod_data"
     make_dataset(root)
 
@@ -84,7 +92,6 @@ def main():
         "adapter_only", 1,
     )
 
-    mode = sys.argv[1] if len(sys.argv) > 1 else "bf16_pallas"
     bank_flags = {
         "bf16_pallas": ["--bank_dtype", "bfloat16", "--pallas_retrieval"],
         "int8": ["--bank_dtype", "int8"],

@@ -8,6 +8,8 @@ import subprocess
 import sys
 import types
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
@@ -54,7 +56,12 @@ def test_wait_retries_through_failures_then_succeeds(monkeypatch):
     assert len(slept) == 2       # slept between attempts, not after success
 
 
-def test_wait_budget_exhausts_and_proceeds(monkeypatch):
+def test_wait_budget_exhausts_and_aborts(monkeypatch):
+    """Budget exhausted with the pool still down => loud exit(3), no hang.
+
+    Proceeding would hang forever inside in-process device init (the last
+    probe just failed), producing neither the JSON line nor a diagnostic.
+    """
     n = [0]
 
     def fake_run(cmd, timeout, capture_output, text):
@@ -63,5 +70,21 @@ def test_wait_budget_exhausts_and_proceeds(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    bench._wait_for_tpu(budget_s=0)   # deadline already passed after probe 1
+    with pytest.raises(SystemExit) as exc:
+        bench._wait_for_tpu(budget_s=0)   # deadline already passed after probe 1
+    assert exc.value.code == 3
     assert n[0] == 1
+
+
+def test_wait_budget_env_read_at_call_time(monkeypatch):
+    """BENCH_TPU_WAIT_S set after `import bench` must still be honored."""
+    monkeypatch.setenv("BENCH_TPU_WAIT_S", "0")
+
+    def fake_run(cmd, timeout, capture_output, text):
+        return _result(1, "", "UNAVAILABLE")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: (_ for _ in ()).throw(
+        AssertionError("zero budget must not sleep")))
+    with pytest.raises(SystemExit):
+        bench._wait_for_tpu()   # no explicit budget: env var wins

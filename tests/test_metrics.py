@@ -172,3 +172,30 @@ def test_device_iq_iou_matches_host(rng):
     assert np.isnan(ious_c[0, 0]) and np.isnan(host_c[0])
     assert np.isnan(ious_c[0, 1]) and np.isnan(host_c[1])
     assert ious_c[0, 2] == 1.0 and host_c[2] == 1.0
+
+
+def test_device_metrics_psnr_only(rng):
+    """ssim=False drops SSIM from the scorer (E6's PSNR+IoU mode): the tuple
+    is (psnr,) or (psnr, ious) and PSNR still matches the host path."""
+    from image_denoising_tpu.metrics import (calculate_psnr,
+                                             make_device_metrics)
+
+    frames = [_pair(rng, shape=(72, 80)) for _ in range(2)]
+    pred = np.stack([n for _, n in frames]).astype(np.uint8)
+    clean = np.stack([c for c, _ in frames]).astype(np.uint8)
+
+    out = make_device_metrics(ssim=False)(pred, clean)
+    assert len(out) == 1
+    psnr_d = np.asarray(out[0])
+    for k in range(2):
+        assert abs(psnr_d[k] - calculate_psnr(pred[k], clean[k],
+                                              zero_mse_psnr=None)) < 1e-3
+
+    out = make_device_metrics(ssim=False, iq_iou=True)(pred, clean)
+    assert len(out) == 2
+    np.testing.assert_allclose(np.asarray(out[0]), psnr_d, atol=1e-5)
+    ious_d = np.asarray(out[1])
+    assert ious_d.shape == (2, 3)
+    for k in range(2):
+        np.testing.assert_allclose(
+            ious_d[k], compute_iq_iou(pred[k], clean[k]), atol=1e-7)

@@ -226,8 +226,16 @@ def check_device_metrics():
         assert dp < 1e-2 and ds < 1e-4, (k, dp, ds)
         di = np.abs(ious_d[k] - compute_iq_iou(pred[k], clean[k])).max()
         assert di < 1e-6, (k, di)
+    # E6's psnr-only scorer (ssim=False) is a distinct compiled program —
+    # validate the exact layout/values the memory eval CLI consumes
+    fn6 = make_device_metrics(iq_iou=True, ssim=False)
+    out6 = jax.block_until_ready(fn6(pred, clean))
+    assert len(out6) == 2
+    np.testing.assert_allclose(np.asarray(out6[0]), psnr_d, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out6[1]), ious_d, atol=1e-6)
+
     print("device metrics OK: TPU f32 PSNR/SSIM/IQ-IoU within "
-          "1e-2 dB / 1e-4 / 1e-6 of host f64")
+          "1e-2 dB / 1e-4 / 1e-6 of host f64 (+ psnr-only scorer)")
 
 
 if __name__ == "__main__":
