@@ -86,8 +86,12 @@ def _wait_for_tpu(budget_s=None):
     attempt = 0
     while True:
         attempt += 1
+        # clamp the per-probe timeout to the remaining budget (+ a small
+        # margin) so a hung probe can't stretch a short budget to ~600 s
+        probe_timeout = min(600.0, max(5.0, deadline - time.monotonic() + 10.0))
         try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=600,
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout,
                                capture_output=True, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
                 if attempt > 1:
@@ -96,7 +100,8 @@ def _wait_for_tpu(budget_s=None):
             tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
             print(f"bench: TPU probe {attempt} failed: {tail}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            print(f"bench: TPU probe {attempt} hung (600s), killed", file=sys.stderr)
+            print(f"bench: TPU probe {attempt} hung ({probe_timeout:.0f}s), "
+                  "killed", file=sys.stderr)
         if time.monotonic() >= deadline:
             print(
                 "bench: TPU pool still unavailable after "
@@ -175,7 +180,11 @@ def main():
     # fetches overlap the next burst's compute.
     staged = [jax.device_put(b) for b in bursts * 2]
     for s in staged:
-        s.block_until_ready()
+        # block_until_ready alone can return early on this backend (see
+        # module docstring): force residency with a real D2H fetch before
+        # starting the clock (a plain copy — slicing would compile a new
+        # program on this slow-compile backend; the uint8 bursts are ~4 MB)
+        np.asarray(s)
     t0 = time.perf_counter()
     outs = [run(s)[0] for s in staged]
     _ = [np.asarray(o) for o in outs]

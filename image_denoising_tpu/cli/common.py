@@ -13,6 +13,7 @@ tunneled backend).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Any, Optional
 
 import numpy as np
@@ -29,8 +30,11 @@ def enable_compilation_cache() -> None:
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        # the cache is explicitly opt-in (IDT_COMPILATION_CACHE=1): if it
+        # can't be enabled, say so instead of silently recompiling everything
+        print(f"[compilation-cache] could not enable ({e}); "
+              "runs will recompile from scratch", file=sys.stderr)
 
 
 if os.environ.get("IDT_COMPILATION_CACHE") == "1":

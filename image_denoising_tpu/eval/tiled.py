@@ -309,7 +309,7 @@ def _quantize(out01, out_dtype: str):
 
 def make_tiled_pyramid_runner(
     model_call: Callable, h: int, w: int, ps: int = 352, overlap: int = 64,
-    batch: int = 0, mesh=None, out_dtype: str = "float32",
+    batch: int = 0, *, mesh=None, out_dtype: str = "float32",
 ):
     """One fully-jitted program: frame [H,W] float255 → (pred, mean tile L1).
 
@@ -350,7 +350,7 @@ def make_tiled_pyramid_runner(
 
 def make_tiled_pyramid_runner_frames(
     model_call: Callable, n_frames: int, h: int, w: int, ps: int = 352,
-    overlap: int = 64, batch: int = 0, out_dtype: str = "float32", mesh=None,
+    overlap: int = 64, batch: int = 0, *, mesh=None, out_dtype: str = "float32",
 ):
     """Frame-batched variant: [F,H,W] float255 → ([F,H,W] pred, [F] L1).
 
@@ -419,6 +419,9 @@ def denoise_tiled_pyramid(
     noisy = np.asarray(noisy255)
     assert noisy.ndim == 2, "tiled pyramid eval is single-channel"
     h, w = noisy.shape
+    # key on the COERCED batch so batch=-k + mesh and batch=0 + mesh hit the
+    # same cached program instead of compiling the identical geometry twice
+    batch = _coerce_batch(batch, mesh)
     key = ("pyr", id(model_call), h, w, ps, overlap, batch, out_dtype, id(mesh))
     run = _RUNNER_CACHE.get(key)
     if run is None:
@@ -460,7 +463,7 @@ def _make_hann_blender(grid, window_np: np.ndarray, h: int, w: int, ps: int):
 
 def make_tiled_hann_runner(
     model_call: Callable, h: int, w: int, ps: int = 128, overlap: int = 64,
-    batch: int = 0, mesh=None, out_dtype: str = "float32",
+    batch: int = 0, *, mesh=None, out_dtype: str = "float32",
 ):
     """One fully-jitted program: frame [H,W] float255 → pred [H,W]."""
     batch = _coerce_batch(batch, mesh)
@@ -488,7 +491,7 @@ def make_tiled_hann_runner(
 
 def make_tiled_hann_runner_frames(
     model_call: Callable, n_frames: int, h: int, w: int, ps: int = 128,
-    overlap: int = 64, batch: int = 0, out_dtype: str = "float32", mesh=None,
+    overlap: int = 64, batch: int = 0, *, mesh=None, out_dtype: str = "float32",
 ):
     """Frame-batched Hann variant: [F,H,W] float255 → [F,H,W] pred.
 
@@ -546,6 +549,7 @@ def denoise_tiled_hann(
     if noisy.ndim == 3 and noisy.shape[2] == 1:
         noisy = noisy[..., 0]
     h, w = noisy.shape
+    batch = _coerce_batch(batch, mesh)  # cache on the coerced value (see pyr)
     key = ("hann", id(model_call), h, w, ps, overlap, batch, out_dtype, id(mesh))
     run = _RUNNER_CACHE.get(key)
     if run is None:

@@ -85,8 +85,25 @@ def build_memory_bank(
     assert len(clean_paths) == len(noise_paths) and clean_paths
     all_clean, all_noise = [], []
     for cp, npth in zip(clean_paths, noise_paths):
-        clean_arr = load_image_f32(cp) / 255.0
-        noise_arr = load_image_f32(npth) / 255.0
+        clean_raw = load_image_f32(cp)
+        noise_raw = load_image_f32(npth)
+        if bank_dtype == "int8" and not (
+            float(noise_raw.min()) >= 0.0
+            and float(noise_raw.max()) <= 255.0
+            and np.array_equal(noise_raw, np.round(noise_raw))
+        ):
+            # int8 banks promise EXACT integer distances, which holds only
+            # when round(x·255) recovers the source byte exactly. High-bit-
+            # depth input (e.g. 16-bit TIFF, data/pairs.py:168-172 applies
+            # the same uint8-exactness rule) would be silently quantized to
+            # 256 levels — refuse instead of degrading retrieval silently.
+            raise ValueError(
+                f"--bank_dtype int8 requires uint8-exact noise frames, but "
+                f"{npth} is not byte-exact (high-bit-depth input?). Use "
+                f"--bank_dtype float32 or bfloat16 for this data."
+            )
+        clean_arr = clean_raw / 255.0
+        noise_arr = noise_raw / 255.0
         cpatches = extract_patches(clean_arr.astype(np.float32), patch_size, stride)
         npatches = extract_patches(noise_arr.astype(np.float32), patch_size, stride)
         assert cpatches.shape == npatches.shape

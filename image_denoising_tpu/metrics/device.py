@@ -21,6 +21,19 @@ from __future__ import annotations
 __all__ = ["frame_psnr_ssim", "frame_iq_iou", "make_device_metrics"]
 
 
+def _psnr(p, c):
+    """Un-guarded ``utils_eval.py:49-53`` PSNR on f32 frames in [0,255].
+
+    The single source of the device-PSNR accuracy contract (identical
+    frames → +inf) — both the PSNR+SSIM scorer and the psnr-only scorer
+    call this, so E3/E5 and E6 can never silently diverge.
+    """
+    import jax.numpy as jnp
+
+    mse = jnp.mean(jnp.square(p - c))
+    return 10.0 * jnp.log10(255.0 * 255.0 / mse)
+
+
 def frame_psnr_ssim(pred255, clean255):
     """Score ONE frame on device: [H,W] or [H,W,C] in [0,255] → (psnr, ssim).
 
@@ -35,8 +48,7 @@ def frame_psnr_ssim(pred255, clean255):
 
     p = pred255.astype(jnp.float32)
     c = clean255.astype(jnp.float32)
-    mse = jnp.mean(jnp.square(p - c))
-    psnr = 10.0 * jnp.log10(255.0 * 255.0 / mse)
+    psnr = _psnr(p, c)
     pb = p[None] if p.ndim == 2 else jnp.moveaxis(p, -1, 0)
     cb = c[None] if c.ndim == 2 else jnp.moveaxis(c, -1, 0)
     return psnr, ssim_jax(pb, cb).mean()
@@ -99,10 +111,7 @@ def make_device_metrics(iq_iou: bool = False, low_q: float = 0.25,
         if ssim:
             out.extend(frame_psnr_ssim(p, c))
         else:
-            pf = p.astype(jnp.float32)
-            cf = c.astype(jnp.float32)
-            mse = jnp.mean(jnp.square(pf - cf))
-            out.append(10.0 * jnp.log10(255.0 * 255.0 / mse))
+            out.append(_psnr(p.astype(jnp.float32), c.astype(jnp.float32)))
         if iq_iou:
             out.append(frame_iq_iou(p, c, low_q, high_q))
         return tuple(out)

@@ -81,3 +81,38 @@ def test_patch_dataset_8bit_keeps_native(tmp_path, capsys):
     # the uint8-exact gate must not reject plain 8-bit input (the native
     # sampler itself may still be unavailable if the lib isn't built)
     assert "not uint8-exact" not in capsys.readouterr().out
+
+
+def test_int8_bank_rejects_16bit_noise(tmp_path):
+    """int8 banks promise EXACT integer distances — that contract only holds
+    for uint8-exact noise frames, so high-bit-depth input must be refused
+    (not silently quantized to 256 levels)."""
+    from image_denoising_tpu.memory.bank import build_memory_bank
+
+    rng = np.random.default_rng(7)
+    clean = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    noise16 = rng.integers(0, 65536, (24, 24), dtype=np.uint16)
+    cp, npth = str(tmp_path / "c.png"), str(tmp_path / "n.tiff")
+    Image.fromarray(clean).save(cp)
+    Image.fromarray(noise16).save(npth)
+    with pytest.raises(ValueError, match="uint8-exact"):
+        build_memory_bank([cp], [npth], patch_size=8, stride=8,
+                          bank_dtype="int8")
+    # f32 banks accept the same data (quantization is an int8-only concern)
+    bank = build_memory_bank([cp], [npth], patch_size=8, stride=8,
+                             bank_dtype="float32")
+    assert bank.size == 9
+
+
+def test_int8_bank_accepts_uint8_noise(tmp_path):
+    from image_denoising_tpu.memory.bank import build_memory_bank
+
+    rng = np.random.default_rng(8)
+    for name in ("c.png", "n.png"):
+        arr = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / name)
+    bank = build_memory_bank([str(tmp_path / "c.png")],
+                             [str(tmp_path / "n.png")],
+                             patch_size=8, stride=8, bank_dtype="int8")
+    assert bank.noise_flat.dtype.name == "int8"
+    assert bank.size == 9
