@@ -269,6 +269,71 @@ def save_png(arr: np.ndarray, path: str, mode: str = "RGB") -> None:
     img.save(path, compress_level=1)
 
 
+def add_host_workers_flag(parser) -> None:
+    parser.add_argument(
+        "--host_workers", type=int, default=0,
+        help="thread-pool size for the per-frame host pass (PSNR/SSIM/IoU + "
+             "PNG encode). The native SSIM and PIL's PNG encoder release "
+             "the GIL, so frames score in parallel on a multi-core host "
+             "while the main thread keeps the device fed (docs/PERF.md §9). "
+             "Results finalize in frame order — output is identical to the "
+             "default inline pass (0).",
+    )
+
+
+class HostWorkPool:
+    """Optional thread pool for the eval CLIs' per-frame host pass.
+
+    Full eval runs are host-bound once the device pipeline saturates
+    (docs/PERF.md §9: SSIM + PNG encode ≈ 85 % of wall time on a 1-core
+    box). Both hot host ops release the GIL — the native SSIM is a ctypes
+    call into native/ssim.cpp and PIL's PNG encoder drops it during zlib
+    compression — so with ``workers > 0`` the per-frame pass runs in a
+    ThreadPoolExecutor while the main thread drains device bursts.
+
+    ``submit(fn, *args)`` enqueues one frame's host work; ``finalize(result)``
+    is invoked **in submission order** on the main thread (inside submit/
+    close), so stdout lines, ``MetricsWriter`` contents and metrics.txt are
+    byte-identical to the inline path. The pending window is bounded
+    (2·workers+2) so peak RAM holds only a few frames. ``workers=0``
+    degrades to calling ``fn`` inline — the zero-overhead default.
+    """
+
+    def __init__(self, workers: int, finalize=None):
+        self.finalize = finalize if finalize is not None else (lambda r: None)
+        self._pool = None
+        if workers and workers > 0:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+            self._pending = deque()
+            self._bound = 2 * workers + 2
+
+    def submit(self, fn, *args):
+        if self._pool is None:
+            self.finalize(fn(*args))
+            return
+        self._pending.append(self._pool.submit(fn, *args))
+        # finalize every already-finished leading frame (order-preserving,
+        # non-blocking); block on the oldest only when the window is full
+        while self._pending and (
+            self._pending[0].done() or len(self._pending) > self._bound
+        ):
+            self.finalize(self._pending.popleft().result())
+
+    def close(self):
+        """Drain remaining frames (in order) and shut the pool down."""
+        if self._pool is None:
+            return
+        try:
+            while self._pending:
+                self.finalize(self._pending.popleft().result())
+        finally:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+
 class MetricsWriter:
     """Accumulates per-image metrics and writes the reference metrics.txt."""
 

@@ -49,17 +49,18 @@ def parse_args(argv=None):
                         help="uint8 quantization: floor = evaluation_704's "
                              "clip(p*255); round = evaluation.py's +0.5")
     parser.add_argument("--suffix", type=str, default="_denoised")
-    from .common import add_dtype_flag
+    from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser, default="bfloat16")
+    add_host_workers_flag(parser)
     return parser.parse_args(argv)
 
 
 def run(opt):
     from ..data import load_image_f32
     from ..eval import denoise_tiled_pyramid
-    from .common import (build_network, jitted_apply, load_params,
-                         resolve_dtype, save_png)
+    from .common import (HostWorkPool, build_network, jitted_apply,
+                         load_params, resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     paths = sorted(
@@ -112,6 +113,20 @@ def run(opt):
         return arr.astype(np.uint8)
 
     n_done = 0
+
+    def _finalize(name):
+        nonlocal n_done
+        n_done += 1
+        print(f"[{n_done}/{len(paths)}] {name}")
+
+    def _encode(frame, path):
+        save_png(frame, out_path(path), mode=None)
+        return os.path.basename(path)
+
+    # --host_workers: PNG encode (PIL releases the GIL in zlib) runs in a
+    # thread pool; progress lines still print in frame order
+    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+
     if opt.frame_burst and opt.frame_burst > 1:
         from PIL import Image
 
@@ -140,18 +155,15 @@ def run(opt):
                                                     make_runner):
             out = np.asarray(out_dev)
             for k, j in enumerate(chunk):
-                save_png(out[k], out_path(paths[j]), mode=None)
-                n_done += 1
-                print(f"[{n_done}/{len(paths)}] {os.path.basename(paths[j])}")
+                pool.submit(_encode, out[k], paths[j])
     else:
         for j, p in enumerate(paths):
             pred255, _l1 = denoise_tiled_pyramid(
                 fwd, _load(j), ps=opt.tile, overlap=opt.overlap,
                 batch=tile_batch, out_dtype=out_dtype, mesh=mesh,
             )
-            save_png(pred255, out_path(p), mode=None)
-            n_done += 1
-            print(f"[{n_done}/{len(paths)}] {os.path.basename(p)}")
+            pool.submit(_encode, pred255, p)
+    pool.close()
 
     print(f"Wrote {n_done} denoised frames to {opt.save_dir}")
     return n_done

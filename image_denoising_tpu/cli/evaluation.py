@@ -36,9 +36,10 @@ def parse_args(argv=None):
                              "the host float64 MATLAB-SSIM). With "
                              "--save_images none the prediction is never "
                              "fetched to the host.")
-    from .common import add_dtype_flag
+    from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser)
+    add_host_workers_flag(parser)
     return parser.parse_args(argv)
 
 
@@ -47,8 +48,8 @@ def evaluate(opt):
 
     from ..data import validation_denoise
     from ..metrics import calculate_psnr, calculate_ssim
-    from .common import (MetricsWriter, build_network, jitted_apply,
-                         load_params, resolve_dtype, save_png)
+    from .common import (HostWorkPool, MetricsWriter, build_network,
+                         jitted_apply, load_params, resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -85,36 +86,29 @@ def evaluate(opt):
         return score
 
     writer = MetricsWriter()
-    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
-        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
-        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+    save_mode = getattr(opt, "save_images", "all")
 
-        noisy_f = np.asarray(noisy, dtype=np.float32)
-        clean255 = np.asarray(clean).astype(np.uint8)
-        noisy255 = noisy_f.astype(np.uint8)
-        save_mode = getattr(opt, "save_images", "all")
+    def _finalize(res):
+        msg, add_kw = res
+        writer.add(**add_kw)
+        print(msg)
 
-        if getattr(opt, "device_metrics", False):
-            key = (np.shape(noisy_f), np.shape(clean255))
-            score = scorer_cache.get(key)
-            if score is None:
-                score = scorer_cache[key] = _device_scorer(key)
-            pred_dev, l1_dev, psnr_dev, ssim_dev = score(
-                jnp.asarray(noisy_f), jnp.asarray(clean255))
-            pred255 = None
-            if save_mode != "none":
-                pred255 = np.asarray(pred_dev)
+    def _host_pass(i, clean_name, noisy_name, clean255, noisy255, dev):
+        """Fetch one frame's device results and run its host pass.
+
+        The forward was dispatched asynchronously in the main loop; this
+        fetch (and PSNR/SSIM/PNG when on the host path) runs inline by
+        default or in the --host_workers pool, finalizing in frame order.
+        """
+        if len(dev) == 4:  # --device_metrics: scalars (+ pred for PNGs)
+            pred_dev, l1_dev, psnr_dev, ssim_dev = dev
+            pred255 = np.asarray(pred_dev) if save_mode != "none" else None
             l1_val = float(l1_dev)
             psnr_val = float(psnr_dev)
             ssim_val = float(ssim_dev)
         else:
-            x = noisy_f / 255.0
-            if x.ndim == 2:
-                x = x[..., None]
-            pred = fwd(jnp.asarray(x)[None])[0]
-
-            l1_val = float(jnp.mean(jnp.abs(pred - jnp.asarray(x))))
-
+            pred, l1_dev = dev
+            l1_val = float(l1_dev)
             pred_np = np.clip(np.asarray(pred), 0, 1).squeeze()
             pred255 = np.clip(pred_np * 255.0 + 0.5, 0, 255).astype(np.uint8)
             psnr_val = calculate_psnr(pred255, clean255, zero_mse_psnr=None)
@@ -125,11 +119,37 @@ def evaluate(opt):
             save_png(clean255, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"))
         if save_mode != "none":
             save_png(pred255, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_denoised.png"))
-        writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val)
-        print(
+        msg = (
             f"[{i + 1}/{len(clean_imgs)}] {noisy_name} -> "
             f"PSNR: {psnr_val:.2f}, SSIM: {ssim_val:.4f}, L1: {l1_val:.6f}"
         )
+        return msg, dict(psnr=psnr_val, ssim=ssim_val, l1=l1_val)
+
+    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
+        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+
+        noisy_f = np.asarray(noisy, dtype=np.float32)
+        clean255 = np.asarray(clean).astype(np.uint8)
+        noisy255 = noisy_f.astype(np.uint8)
+
+        if getattr(opt, "device_metrics", False):
+            key = (np.shape(noisy_f), np.shape(clean255))
+            score = scorer_cache.get(key)
+            if score is None:
+                score = scorer_cache[key] = _device_scorer(key)
+            dev = score(jnp.asarray(noisy_f), jnp.asarray(clean255))
+        else:
+            x = noisy_f / 255.0
+            if x.ndim == 2:
+                x = x[..., None]
+            pred = fwd(jnp.asarray(x)[None])[0]
+            dev = (pred, jnp.mean(jnp.abs(pred - jnp.asarray(x))))
+
+        pool.submit(_host_pass, i, clean_name, noisy_name, clean255,
+                    noisy255, dev)
+    pool.close()
 
     writer.write(opt.save_dir)
     avg = writer.averages()

@@ -63,9 +63,10 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
-    from .common import add_dtype_flag
+    from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser)
+    add_host_workers_flag(parser)
     return parser.parse_args(argv)
 
 
@@ -73,8 +74,9 @@ def evaluate(opt):
     from ..data import validation_denoise
     from ..eval import denoise_tiled_pyramid
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
-    from .common import (MetricsWriter, build_network, drain_burst,
-                         jitted_apply, load_params, resolve_dtype, save_png)
+    from .common import (HostWorkPool, MetricsWriter, build_network,
+                         drain_burst, jitted_apply, load_params,
+                         resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -169,28 +171,19 @@ def evaluate(opt):
         )
 
     writer = MetricsWriter()
-    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
-        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
-        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
 
-        clean_u8 = np.asarray(clean).astype(np.uint8)
-        noisy_u8 = np.asarray(noisy).astype(np.uint8)
+    def _finalize(res):
+        msg, add_kw = res
+        writer.add(**add_kw)
+        print(msg)
 
-        dev_m = None
-        if burst_stream is not None:
-            while i not in pred_cache:
-                # runner output is (preds, l1): cache (pred, l1, metrics)
-                drain_burst(next(burst_stream), pred_cache, fetch_pred,
-                            pick=lambda out: (out[0], (out[1],)))
-            pred255, l1_val, dev_m = pred_cache.pop(i)
-            l1_val = float(l1_val)
-        else:
-            # uint8 quantization (reference: clip(p·255), NO +0.5) on device
-            pred255, l1_val = denoise_tiled_pyramid(
-                fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
-                batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
-            )
+    def _host_pass(i, clean_name, noisy_name, clean_u8, noisy_u8, pred255,
+                   l1_val, dev_m):
+        """One frame's host work: PNG encodes + (host-path) metrics.
 
+        Runs inline by default; with --host_workers N it runs in a thread
+        pool (SSIM + PNG release the GIL) and finalizes in frame order.
+        """
         if save_mode == "all":
             save_png(noisy_u8, os.path.join(opt.save_dir, f"{noisy_name}_{i:03d}_noisy.png"), mode=None)
             save_png(clean_u8, os.path.join(opt.save_dir, f"{clean_name}_{i:03d}_clean.png"), mode=None)
@@ -213,8 +206,34 @@ def evaluate(opt):
             if ious is None:
                 ious = compute_iq_iou(pred255, clean_u8, opt.iq_low_q, opt.iq_high_q)
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
-        writer.add(psnr=psnr_val, ssim=ssim_val, l1=l1_val, ious=ious)
-        print(msg)
+        return msg, dict(psnr=psnr_val, ssim=ssim_val, l1=l1_val, ious=ious)
+
+    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
+        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+
+        clean_u8 = np.asarray(clean).astype(np.uint8)
+        noisy_u8 = np.asarray(noisy).astype(np.uint8)
+
+        dev_m = None
+        if burst_stream is not None:
+            while i not in pred_cache:
+                # runner output is (preds, l1): cache (pred, l1, metrics)
+                drain_burst(next(burst_stream), pred_cache, fetch_pred,
+                            pick=lambda out: (out[0], (out[1],)))
+            pred255, l1_val, dev_m = pred_cache.pop(i)
+            l1_val = float(l1_val)
+        else:
+            # uint8 quantization (reference: clip(p·255), NO +0.5) on device
+            pred255, l1_val = denoise_tiled_pyramid(
+                fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
+                batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
+            )
+
+        pool.submit(_host_pass, i, clean_name, noisy_name, clean_u8,
+                    noisy_u8, pred255, l1_val, dev_m)
+    pool.close()
 
     if profiling:
         import jax

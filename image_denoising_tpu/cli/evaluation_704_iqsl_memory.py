@@ -79,9 +79,10 @@ def parse_args(argv=None):
                              "stay device-resident and the per-frame D2H is "
                              "a handful of scalars (PERF §9.1). Implies the "
                              "burst pipeline (frame_burst >= 1).")
-    from .common import add_dtype_flag
+    from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser)
+    add_host_workers_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -102,7 +103,7 @@ def main(argv=None):
     from ..memory import build_memory_bank
     from ..metrics import calculate_psnr, compute_iq_iou
     from ..models.registry import build_model
-    from .common import MetricsWriter, save_png
+    from .common import HostWorkPool, MetricsWriter, save_png
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -233,24 +234,15 @@ def main(argv=None):
                                    extra=extra, post=post)
 
     writer = MetricsWriter()
-    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
-        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
-        clean255 = np.asarray(clean).astype(np.uint8)
 
-        dev_m = None
-        if burst_stream is not None:
-            while i not in pred_cache:
-                drain_burst(next(burst_stream), pred_cache, fetch_pred)
-            pred255, dev_m = pred_cache.pop(i)
-        else:
-            # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
-            pred255 = denoise_tiled_hann(
-                model_call, np.asarray(noisy), ps=opt.patch_size,
-                overlap=opt.overlap, batch=tile_batch,
-                extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
-                out_dtype="uint8_round", mesh=mesh,
-            ).squeeze(-1)
+    def _finalize(res):
+        msg, add_kw = res
+        writer.add(**add_kw)
+        print(msg)
 
+    def _host_pass(i, noisy_name, clean255, pred255, dev_m):
+        """One frame's host pass (PNG + host metrics) — inline by default,
+        pooled under --host_workers, finalized in frame order."""
         if save_mode != "none":
             save_png(pred255,
                      os.path.join(opt.save_dir, f"{noisy_name}_denoised_mem.png"),
@@ -270,8 +262,29 @@ def main(argv=None):
             if ious is None:
                 ious = compute_iq_iou(pred255, clean255, opt.iq_low_q, opt.iq_high_q)
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
-        writer.add(psnr=psnr, ious=ious)
-        print(msg)
+        return msg, dict(psnr=psnr, ious=ious)
+
+    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+        clean255 = np.asarray(clean).astype(np.uint8)
+
+        dev_m = None
+        if burst_stream is not None:
+            while i not in pred_cache:
+                drain_burst(next(burst_stream), pred_cache, fetch_pred)
+            pred255, dev_m = pred_cache.pop(i)
+        else:
+            # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
+            pred255 = denoise_tiled_hann(
+                model_call, np.asarray(noisy), ps=opt.patch_size,
+                overlap=opt.overlap, batch=tile_batch,
+                extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
+                out_dtype="uint8_round", mesh=mesh,
+            ).squeeze(-1)
+
+        pool.submit(_host_pass, i, noisy_name, clean255, pred255, dev_m)
+    pool.close()
 
     writer.write(opt.save_dir)
     avg = writer.averages()

@@ -32,9 +32,10 @@ def parse_args(argv=None):
                              "(the reference behavior); 'none' computes "
                              "metrics only (PNG encode dominates host wall "
                              "on a 1-core box, docs/PERF.md §9)")
-    from .common import add_dtype_flag
+    from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser)
+    add_host_workers_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -68,7 +69,8 @@ def main(argv=None):
     from ..data.pairs import load_image_f32
     from ..metrics import calculate_psnr
     from ..models.registry import build_model
-    from .common import batched_frame_forward, resolve_dtype, save_png
+    from .common import (HostWorkPool, batched_frame_forward, resolve_dtype,
+                         save_png)
 
     noise_dir = os.path.join(opt.data_dir, "noise")
     clean_dir = os.path.join(opt.data_dir, "clean")
@@ -103,7 +105,14 @@ def main(argv=None):
                                   parallel=opt.parallel)
 
     psnrs = []
-    for idx, n_path in enumerate(noise_paths):
+
+    def _finalize(res):
+        msg, psnr = res
+        if psnr is not None:
+            psnrs.append(psnr)
+        print(msg)
+
+    def _host_pass(idx, n_path):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
         pred = preds[idx]
         pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)
@@ -114,14 +123,20 @@ def main(argv=None):
             save_png(vis, save_path, mode="L" if vis.ndim == 2 else "RGB")
             note = f"saved to {save_path}"
 
+        psnr = None
         if has_clean and idx < len(clean_paths):
             clean_img = load_image_f32(clean_paths[idx])
             psnr = calculate_psnr(pred255.squeeze(), clean_img)
-            psnrs.append(psnr)
-            print(f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → "
-                  f"PSNR={psnr:.2f} dB, {note}")
+            msg = (f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → "
+                   f"PSNR={psnr:.2f} dB, {note}")
         else:
-            print(f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → {note}")
+            msg = f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → {note}"
+        return msg, psnr
+
+    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+    for idx, n_path in enumerate(noise_paths):
+        pool.submit(_host_pass, idx, n_path)
+    pool.close()
 
     print("Inference with adapter model finished.")
     return float(np.mean(psnrs)) if psnrs else None

@@ -37,9 +37,10 @@ def parse_args(argv=None):
                              "(the reference behavior); 'none' computes "
                              "metrics only (PNG encode dominates host wall "
                              "on a 1-core box, docs/PERF.md §9)")
-    from .common import add_dtype_flag
+    from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser)
+    add_host_workers_flag(parser)
     args, _ = parser.parse_known_args(argv)
     return args
 
@@ -55,8 +56,8 @@ def main(argv=None):
     from ..data.pairs import load_image_f32
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
     from ..models.registry import build_model
-    from .common import (MetricsWriter, batched_frame_forward, resolve_dtype,
-                         save_png)
+    from .common import (HostWorkPool, MetricsWriter, batched_frame_forward,
+                         resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     noise_paths = sorted(glob.glob(os.path.join(opt.data_dir, "noise", "*")))
@@ -86,7 +87,15 @@ def main(argv=None):
     preds = batched_frame_forward(fwd, params, frames, parallel=opt.parallel)
 
     writer = MetricsWriter()
-    for idx, n_path in enumerate(noise_paths):
+
+    def _finalize(res):
+        if res is None:
+            return
+        msg, add_kw = res
+        writer.add(**add_kw)
+        print(msg)
+
+    def _host_pass(idx, n_path):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
         pred255 = np.clip(preds[idx] * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze()
         if getattr(opt, "save_images", "denoised") != "none":
@@ -94,18 +103,23 @@ def main(argv=None):
                      os.path.join(opt.save_dir, f"{base_name}_denoised.png"),
                      mode="L" if pred255.ndim == 2 else "RGB")
 
-        if has_clean and idx < len(clean_paths):
-            clean_img = load_image_f32(clean_paths[idx])
-            clean255 = clean_img.astype(np.uint8)
-            psnr = calculate_psnr(pred255, clean255)
-            ssim = calculate_ssim(pred255, clean255)
-            ious = None
-            msg = f"[{idx + 1}/{len(noise_paths)}] {base_name} -> PSNR: {psnr:.2f}, SSIM: {ssim:.4f}"
-            if opt.compute_iq_iou:
-                ious = compute_iq_iou(pred255, clean255, opt.iq_low_q, opt.iq_high_q)
-                msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
-            writer.add(psnr=psnr, ssim=ssim, ious=ious)
-            print(msg)
+        if not (has_clean and idx < len(clean_paths)):
+            return None
+        clean_img = load_image_f32(clean_paths[idx])
+        clean255 = clean_img.astype(np.uint8)
+        psnr = calculate_psnr(pred255, clean255)
+        ssim = calculate_ssim(pred255, clean255)
+        ious = None
+        msg = f"[{idx + 1}/{len(noise_paths)}] {base_name} -> PSNR: {psnr:.2f}, SSIM: {ssim:.4f}"
+        if opt.compute_iq_iou:
+            ious = compute_iq_iou(pred255, clean255, opt.iq_low_q, opt.iq_high_q)
+            msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
+        return msg, dict(psnr=psnr, ssim=ssim, ious=ious)
+
+    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+    for idx, n_path in enumerate(noise_paths):
+        pool.submit(_host_pass, idx, n_path)
+    pool.close()
 
     if has_clean:
         writer.write(opt.save_dir)

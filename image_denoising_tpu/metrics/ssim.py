@@ -38,12 +38,28 @@ def _filter_mirror(img: np.ndarray, window: np.ndarray) -> np.ndarray:
     return correlate(img, window, mode="mirror")
 
 
+import threading
+
 _NATIVE = None
 _NATIVE_FAILED = False
+_NATIVE_LOCK = threading.Lock()
 
 
 def _native_lib():
-    """Native separable-filter SSIM (native/ssim.cpp) — ~10× the scipy path."""
+    """Native separable-filter SSIM (native/ssim.cpp) — ~10× the scipy path.
+
+    Thread-safe: the --host_workers CLI pool may race several first calls;
+    the lock keeps two threads from both spawning the make subprocess.
+    ssim_gray itself is reentrant (no shared mutable state) and releases
+    the GIL for the duration of the ctypes call.
+    """
+    if _NATIVE is not None or _NATIVE_FAILED:
+        return _NATIVE
+    with _NATIVE_LOCK:
+        return _native_lib_locked()
+
+
+def _native_lib_locked():
     global _NATIVE, _NATIVE_FAILED
     if _NATIVE is not None or _NATIVE_FAILED:
         return _NATIVE

@@ -9,6 +9,7 @@
 // C ABI: ssim_gray(img1, img2, h, w) -> SSIM scalar; images are row-major
 // float64 in the [0,255] domain.
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -20,21 +21,22 @@ constexpr int kR = kK / 2;  // 5
 constexpr double kC1 = (0.01 * 255) * (0.01 * 255);
 constexpr double kC2 = (0.03 * 255) * (0.03 * 255);
 
-// cv2.getGaussianKernel(11, 1.5), normalized.
+// cv2.getGaussianKernel(11, 1.5), normalized. Magic-static init: callers
+// may invoke ssim_gray from several Python threads at once (the CLI
+// --host_workers pool), and C++11 guarantees thread-safe one-time init.
 const double* gauss_kernel() {
-  static double k[kK];
-  static bool init = false;
-  if (!init) {
+  static const std::array<double, kK> k = [] {
+    std::array<double, kK> v{};
     double sum = 0.0;
     for (int i = 0; i < kK; ++i) {
       const double x = i - (kK - 1) / 2.0;
-      k[i] = std::exp(-(x * x) / (2.0 * 1.5 * 1.5));
-      sum += k[i];
+      v[i] = std::exp(-(x * x) / (2.0 * 1.5 * 1.5));
+      sum += v[i];
     }
-    for (int i = 0; i < kK; ++i) k[i] /= sum;
-    init = true;
-  }
-  return k;
+    for (int i = 0; i < kK; ++i) v[i] /= sum;
+    return v;
+  }();
+  return k.data();
 }
 
 // REFLECT_101 index (edge not repeated): -1 -> 1, n -> n-2.

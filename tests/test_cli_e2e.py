@@ -440,3 +440,69 @@ def test_train_resume_and_profile(fixture_dataset, tmp_path):
     ])
     # a trace directory with content was produced
     assert os.path.isdir(prof_dir) and len(os.listdir(prof_dir)) > 0
+
+
+def test_eval_host_workers_identical(fixture_dataset, tmp_path, capsys):
+    """--host_workers N runs the per-frame host pass (PSNR/SSIM/PNG) in a
+    thread pool but finalizes in frame order: stdout lines, metrics.txt and
+    every PNG must be byte-identical to the inline default."""
+    from image_denoising_tpu.cli import evaluation_704 as eval704
+    from image_denoising_tpu.cli import train as train_cli
+
+    save_root = str(tmp_path / "results")
+    train_cli.main([
+        "--data_dir", fixture_dataset, "--save_model_path", save_root,
+        "--log_name", "UNetImproved_hw", "--n_feature", "8",
+        "--n_epoch", "1", "--batchsize", "2", "--max_steps_per_epoch", "1",
+    ])
+    ckpts = []
+    for dirpath, _, files in os.walk(save_root):
+        ckpts += [os.path.join(dirpath, f) for f in files
+                  if f.endswith("epoch_model_001.ckpt")]
+    args = [
+        "--data_dir", fixture_dataset, "--checkpoint", ckpts[0],
+        "--n_feature", "8", "--log_name", "UNetImproved_hw",
+        "--tile", "32", "--overlap", "16", "--compute_iq_iou",
+    ]
+
+    def frame_lines(text):
+        return [ln for ln in text.splitlines() if ln.startswith("[")]
+
+    inline_dir = str(tmp_path / "inline")
+    avg_inline = eval704.main(args + ["--save_dir", inline_dir])
+    lines_inline = frame_lines(capsys.readouterr().out)
+
+    pooled_dir = str(tmp_path / "pooled")
+    avg_pooled = eval704.main(
+        args + ["--save_dir", pooled_dir, "--host_workers", "2"])
+    lines_pooled = frame_lines(capsys.readouterr().out)
+
+    assert lines_pooled == lines_inline
+    assert avg_pooled == avg_inline
+    inline_files = sorted(os.listdir(inline_dir))
+    assert inline_files == sorted(os.listdir(pooled_dir))
+    for f in inline_files:
+        a = open(os.path.join(inline_dir, f), "rb").read()
+        b = open(os.path.join(pooled_dir, f), "rb").read()
+        assert a == b, f
+
+    # serving CLI: pooled PNG encode writes the same frames
+    from image_denoising_tpu.cli import denoise as denoise_cli
+
+    serve_args = [
+        "--input_dir", os.path.join(fixture_dataset, "noise"),
+        "--checkpoint", ckpts[0], "--n_feature", "8",
+        "--log_name", "UNetImproved_hw", "--tile", "32", "--overlap", "16",
+        "--frame_burst", "2", "--dtype", "float32",
+    ]
+    serve_inline = str(tmp_path / "serve_inline")
+    denoise_cli.main(serve_args + ["--save_dir", serve_inline])
+    serve_pooled = str(tmp_path / "serve_pooled")
+    denoise_cli.main(
+        serve_args + ["--save_dir", serve_pooled, "--host_workers", "2"])
+    files = sorted(os.listdir(serve_inline))
+    assert files and files == sorted(os.listdir(serve_pooled))
+    for f in files:
+        a = open(os.path.join(serve_inline, f), "rb").read()
+        b = open(os.path.join(serve_pooled, f), "rb").read()
+        assert a == b, f
