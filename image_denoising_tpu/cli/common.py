@@ -277,7 +277,7 @@ def add_host_workers_flag(parser) -> None:
              "the GIL, so frames score in parallel on a multi-core host "
              "while the main thread keeps the device fed (docs/PERF.md §9). "
              "Results finalize in frame order — output is identical to the "
-             "default inline pass (0).",
+             "default inline pass (0). -1 = one worker per host CPU.",
     )
 
 
@@ -302,6 +302,8 @@ class HostWorkPool:
     def __init__(self, workers: int, finalize=None):
         self.finalize = finalize if finalize is not None else (lambda r: None)
         self._pool = None
+        if workers and workers < 0:  # -1 = one worker per host CPU
+            workers = os.cpu_count() or 1
         if workers and workers > 0:
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
@@ -332,6 +334,47 @@ class HostWorkPool:
         finally:
             self._pool.shutdown(wait=True)
             self._pool = None
+
+    def abort(self):
+        """Shut down without finalizing: cancel queued frames, wait for the
+        in-flight ones, swallow their results. Used on the error path so a
+        failing CLI doesn't keep writing PNGs behind the traceback (or leak
+        pool threads to the interpreter's atexit drain)."""
+        if self._pool is None:
+            return
+        self._pending.clear()
+        self._pool.shutdown(wait=True, cancel_futures=True)
+        self._pool = None
+
+    # Context manager: `with HostWorkPool(...) as pool:` drains + closes on
+    # success and aborts on failure — every CLI wraps its frame loop in this.
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
+
+def make_metrics_finalize(writer, skip_none: bool = False):
+    """Shared HostWorkPool finalize for the eval CLIs: each frame's host
+    pass returns ``(msg, writer_kwargs)``; finalize (main thread, frame
+    order) records the metrics and prints the progress line. ``skip_none``
+    ignores frames with no ground truth (adapter eval)."""
+
+    def _finalize(res):
+        if res is None:
+            if skip_none:
+                return
+            raise ValueError("host pass returned None")
+        msg, add_kw = res
+        writer.add(**add_kw)
+        print(msg)
+
+    return _finalize
 
 
 class MetricsWriter:

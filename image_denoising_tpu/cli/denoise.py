@@ -125,7 +125,17 @@ def run(opt):
 
     # --host_workers: PNG encode (PIL releases the GIL in zlib) runs in a
     # thread pool; progress lines still print in frame order
-    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
+    with HostWorkPool(getattr(opt, "host_workers", 0), _finalize) as pool:
+        _run_frames(opt, paths, pool, _encode, _load, fwd, tile_batch,
+                    out_dtype, mesh)
+
+    print(f"Wrote {n_done} denoised frames to {opt.save_dir}")
+    return n_done
+
+
+def _run_frames(opt, paths, pool, _encode, _load, fwd, tile_batch,
+                out_dtype, mesh):
+    from ..eval import denoise_tiled_pyramid
 
     if opt.frame_burst and opt.frame_burst > 1:
         from PIL import Image
@@ -163,10 +173,6 @@ def run(opt):
                 batch=tile_batch, out_dtype=out_dtype, mesh=mesh,
             )
             pool.submit(_encode, pred255, p)
-    pool.close()
-
-    print(f"Wrote {n_done} denoised frames to {opt.save_dir}")
-    return n_done
 
 
 def main(argv=None):

@@ -49,7 +49,8 @@ def evaluate(opt):
     from ..data import validation_denoise
     from ..metrics import calculate_psnr, calculate_ssim
     from .common import (HostWorkPool, MetricsWriter, build_network,
-                         jitted_apply, load_params, resolve_dtype, save_png)
+                         jitted_apply, load_params, make_metrics_finalize,
+                         resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -88,10 +89,15 @@ def evaluate(opt):
     writer = MetricsWriter()
     save_mode = getattr(opt, "save_images", "all")
 
-    def _finalize(res):
-        msg, add_kw = res
-        writer.add(**add_kw)
-        print(msg)
+    # host path: L1 computed inside ONE jitted program with the forward —
+    # eager per-frame jnp ops would pay ~1 round-trip each on the tunneled
+    # TPU (CLAUDE.md: never loop eager ops over the device)
+    import jax
+
+    @jax.jit
+    def _fwd_l1(x3):
+        pred = fwd(x3[None])[0]
+        return pred, jnp.mean(jnp.abs(pred - x3))
 
     def _host_pass(i, clean_name, noisy_name, clean255, noisy255, dev):
         """Fetch one frame's device results and run its host pass.
@@ -125,31 +131,30 @@ def evaluate(opt):
         )
         return msg, dict(psnr=psnr_val, ssim=ssim_val, l1=l1_val)
 
-    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
-    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
-        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
-        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+    with HostWorkPool(getattr(opt, "host_workers", 0),
+                      make_metrics_finalize(writer)) as pool:
+        for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+            clean_name = os.path.basename(clean_paths[i]).split(".")[0]
+            noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
 
-        noisy_f = np.asarray(noisy, dtype=np.float32)
-        clean255 = np.asarray(clean).astype(np.uint8)
-        noisy255 = noisy_f.astype(np.uint8)
+            noisy_f = np.asarray(noisy, dtype=np.float32)
+            clean255 = np.asarray(clean).astype(np.uint8)
+            noisy255 = noisy_f.astype(np.uint8)
 
-        if getattr(opt, "device_metrics", False):
-            key = (np.shape(noisy_f), np.shape(clean255))
-            score = scorer_cache.get(key)
-            if score is None:
-                score = scorer_cache[key] = _device_scorer(key)
-            dev = score(jnp.asarray(noisy_f), jnp.asarray(clean255))
-        else:
-            x = noisy_f / 255.0
-            if x.ndim == 2:
-                x = x[..., None]
-            pred = fwd(jnp.asarray(x)[None])[0]
-            dev = (pred, jnp.mean(jnp.abs(pred - jnp.asarray(x))))
+            if getattr(opt, "device_metrics", False):
+                key = (np.shape(noisy_f), np.shape(clean255))
+                score = scorer_cache.get(key)
+                if score is None:
+                    score = scorer_cache[key] = _device_scorer(key)
+                dev = score(jnp.asarray(noisy_f), jnp.asarray(clean255))
+            else:
+                x = noisy_f / 255.0
+                if x.ndim == 2:
+                    x = x[..., None]
+                dev = _fwd_l1(jnp.asarray(x))
 
-        pool.submit(_host_pass, i, clean_name, noisy_name, clean255,
-                    noisy255, dev)
-    pool.close()
+            pool.submit(_host_pass, i, clean_name, noisy_name, clean255,
+                        noisy255, dev)
 
     writer.write(opt.save_dir)
     avg = writer.averages()

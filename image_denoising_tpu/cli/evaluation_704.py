@@ -76,7 +76,7 @@ def evaluate(opt):
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
     from .common import (HostWorkPool, MetricsWriter, build_network,
                          drain_burst, jitted_apply, load_params,
-                         resolve_dtype, save_png)
+                         make_metrics_finalize, resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -172,11 +172,6 @@ def evaluate(opt):
 
     writer = MetricsWriter()
 
-    def _finalize(res):
-        msg, add_kw = res
-        writer.add(**add_kw)
-        print(msg)
-
     def _host_pass(i, clean_name, noisy_name, clean_u8, noisy_u8, pred255,
                    l1_val, dev_m):
         """One frame's host work: PNG encodes + (host-path) metrics.
@@ -208,32 +203,32 @@ def evaluate(opt):
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
         return msg, dict(psnr=psnr_val, ssim=ssim_val, l1=l1_val, ious=ious)
 
-    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
-    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
-        clean_name = os.path.basename(clean_paths[i]).split(".")[0]
-        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+    with HostWorkPool(getattr(opt, "host_workers", 0),
+                      make_metrics_finalize(writer)) as pool:
+        for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+            clean_name = os.path.basename(clean_paths[i]).split(".")[0]
+            noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
 
-        clean_u8 = np.asarray(clean).astype(np.uint8)
-        noisy_u8 = np.asarray(noisy).astype(np.uint8)
+            clean_u8 = np.asarray(clean).astype(np.uint8)
+            noisy_u8 = np.asarray(noisy).astype(np.uint8)
 
-        dev_m = None
-        if burst_stream is not None:
-            while i not in pred_cache:
-                # runner output is (preds, l1): cache (pred, l1, metrics)
-                drain_burst(next(burst_stream), pred_cache, fetch_pred,
-                            pick=lambda out: (out[0], (out[1],)))
-            pred255, l1_val, dev_m = pred_cache.pop(i)
-            l1_val = float(l1_val)
-        else:
-            # uint8 quantization (reference: clip(p·255), NO +0.5) on device
-            pred255, l1_val = denoise_tiled_pyramid(
-                fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
-                batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
-            )
+            dev_m = None
+            if burst_stream is not None:
+                while i not in pred_cache:
+                    # runner output is (preds, l1): cache (pred, l1, metrics)
+                    drain_burst(next(burst_stream), pred_cache, fetch_pred,
+                                pick=lambda out: (out[0], (out[1],)))
+                pred255, l1_val, dev_m = pred_cache.pop(i)
+                l1_val = float(l1_val)
+            else:
+                # uint8 quantization (reference: clip(p·255), NO +0.5) on device
+                pred255, l1_val = denoise_tiled_pyramid(
+                    fwd, noisy_u8, ps=opt.tile, overlap=opt.overlap,
+                    batch=tile_batch, out_dtype="uint8_floor", mesh=mesh,
+                )
 
-        pool.submit(_host_pass, i, clean_name, noisy_name, clean_u8,
-                    noisy_u8, pred255, l1_val, dev_m)
-    pool.close()
+            pool.submit(_host_pass, i, clean_name, noisy_name, clean_u8,
+                        noisy_u8, pred255, l1_val, dev_m)
 
     if profiling:
         import jax

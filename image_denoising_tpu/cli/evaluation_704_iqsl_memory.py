@@ -103,7 +103,8 @@ def main(argv=None):
     from ..memory import build_memory_bank
     from ..metrics import calculate_psnr, compute_iq_iou
     from ..models.registry import build_model
-    from .common import HostWorkPool, MetricsWriter, save_png
+    from .common import (HostWorkPool, MetricsWriter, make_metrics_finalize,
+                         save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
@@ -235,11 +236,6 @@ def main(argv=None):
 
     writer = MetricsWriter()
 
-    def _finalize(res):
-        msg, add_kw = res
-        writer.add(**add_kw)
-        print(msg)
-
     def _host_pass(i, noisy_name, clean255, pred255, dev_m):
         """One frame's host pass (PNG + host metrics) — inline by default,
         pooled under --host_workers, finalized in frame order."""
@@ -264,27 +260,27 @@ def main(argv=None):
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
         return msg, dict(psnr=psnr, ious=ious)
 
-    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
-    for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
-        noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
-        clean255 = np.asarray(clean).astype(np.uint8)
+    with HostWorkPool(getattr(opt, "host_workers", 0),
+                      make_metrics_finalize(writer)) as pool:
+        for i, (clean, noisy) in enumerate(zip(clean_imgs, noisy_imgs)):
+            noisy_name = os.path.basename(noisy_paths[i]).split(".")[0]
+            clean255 = np.asarray(clean).astype(np.uint8)
 
-        dev_m = None
-        if burst_stream is not None:
-            while i not in pred_cache:
-                drain_burst(next(burst_stream), pred_cache, fetch_pred)
-            pred255, dev_m = pred_cache.pop(i)
-        else:
-            # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
-            pred255 = denoise_tiled_hann(
-                model_call, np.asarray(noisy), ps=opt.patch_size,
-                overlap=opt.overlap, batch=tile_batch,
-                extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
-                out_dtype="uint8_round", mesh=mesh,
-            ).squeeze(-1)
+            dev_m = None
+            if burst_stream is not None:
+                while i not in pred_cache:
+                    drain_burst(next(burst_stream), pred_cache, fetch_pred)
+                pred255, dev_m = pred_cache.pop(i)
+            else:
+                # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
+                pred255 = denoise_tiled_hann(
+                    model_call, np.asarray(noisy), ps=opt.patch_size,
+                    overlap=opt.overlap, batch=tile_batch,
+                    extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
+                    out_dtype="uint8_round", mesh=mesh,
+                ).squeeze(-1)
 
-        pool.submit(_host_pass, i, noisy_name, clean255, pred255, dev_m)
-    pool.close()
+            pool.submit(_host_pass, i, noisy_name, clean255, pred255, dev_m)
 
     writer.write(opt.save_dir)
     avg = writer.averages()

@@ -133,10 +133,9 @@ def main(argv=None):
             msg = f"[{idx + 1:03d}/{len(noise_paths):03d}] {base_name} → {note}"
         return msg, psnr
 
-    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
-    for idx, n_path in enumerate(noise_paths):
-        pool.submit(_host_pass, idx, n_path)
-    pool.close()
+    with HostWorkPool(getattr(opt, "host_workers", 0), _finalize) as pool:
+        for idx, n_path in enumerate(noise_paths):
+            pool.submit(_host_pass, idx, n_path)
 
     print("Inference with adapter model finished.")
     return float(np.mean(psnrs)) if psnrs else None

@@ -57,7 +57,7 @@ def main(argv=None):
     from ..metrics import calculate_psnr, calculate_ssim, compute_iq_iou
     from ..models.registry import build_model
     from .common import (HostWorkPool, MetricsWriter, batched_frame_forward,
-                         resolve_dtype, save_png)
+                         make_metrics_finalize, resolve_dtype, save_png)
 
     os.makedirs(opt.save_dir, exist_ok=True)
     noise_paths = sorted(glob.glob(os.path.join(opt.data_dir, "noise", "*")))
@@ -88,13 +88,6 @@ def main(argv=None):
 
     writer = MetricsWriter()
 
-    def _finalize(res):
-        if res is None:
-            return
-        msg, add_kw = res
-        writer.add(**add_kw)
-        print(msg)
-
     def _host_pass(idx, n_path):
         base_name = os.path.splitext(os.path.basename(n_path))[0]
         pred255 = np.clip(preds[idx] * 255.0 + 0.5, 0, 255).astype(np.uint8).squeeze()
@@ -116,10 +109,10 @@ def main(argv=None):
             msg += f", IoU(d/m/b)=({ious[0]:.3f},{ious[1]:.3f},{ious[2]:.3f})"
         return msg, dict(psnr=psnr, ssim=ssim, ious=ious)
 
-    pool = HostWorkPool(getattr(opt, "host_workers", 0), _finalize)
-    for idx, n_path in enumerate(noise_paths):
-        pool.submit(_host_pass, idx, n_path)
-    pool.close()
+    with HostWorkPool(getattr(opt, "host_workers", 0),
+                      make_metrics_finalize(writer, skip_none=True)) as pool:
+        for idx, n_path in enumerate(noise_paths):
+            pool.submit(_host_pass, idx, n_path)
 
     if has_clean:
         writer.write(opt.save_dir)

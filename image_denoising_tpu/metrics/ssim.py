@@ -72,11 +72,15 @@ def _native_lib_locked():
         "native",
     )
     so = os.path.join(native_dir, "libssim.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", native_dir, "libssim.so"], check=True,
-                           capture_output=True)
-        except Exception:
+    # Always run make (a no-op when up to date): the Makefile's ssim.cpp
+    # prerequisite rebuilds a stale .so left by an older source — required
+    # for fixes like the thread-safe kernel init to actually take effect
+    # on hosts that built before the change.
+    try:
+        subprocess.run(["make", "-C", native_dir, "libssim.so"], check=True,
+                       capture_output=True)
+    except Exception:
+        if not os.path.exists(so):  # no make, no prebuilt library
             _NATIVE_FAILED = True
             return None
     if not os.path.exists(so):

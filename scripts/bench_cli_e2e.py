@@ -81,6 +81,8 @@ def main():
     ]
     if "--device_metrics" in sys.argv:
         argv.append("--device_metrics")
+    if "--host_workers" in sys.argv:
+        argv += ["--host_workers", sys.argv[sys.argv.index("--host_workers") + 1]]
     opt = parse_args(argv)
     walls = []
     for rep in range(3):
@@ -92,6 +94,7 @@ def main():
     spf = min(walls) / N_FRAMES
     emit(kind="cli_steady_state", save_images=save_images,
          device_metrics=bool(opt.device_metrics),
+         host_workers=getattr(opt, "host_workers", 0),
          s_per_frame=round(spf, 3), mps=round(H * W / 1e6 / spf, 2),
          note="min of %d reps x %d frames" % (len(walls), N_FRAMES))
 

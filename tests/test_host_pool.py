@@ -35,13 +35,15 @@ def test_finalize_order_is_submission_order(workers):
 
 
 def test_workers_actually_parallelize():
-    """With 2 workers, 2 GIL-releasing tasks overlap (wall < serial sum)."""
+    """With 2 workers, 2 GIL-releasing tasks overlap (wall < serial sum).
+    sleep needs no CPU, so this holds even on a loaded 1-core host; the
+    0.25 s margin absorbs thread start-up jitter."""
     pool = HostWorkPool(2, lambda r: None)
     t0 = time.perf_counter()
     for _ in range(2):
-        pool.submit(time.sleep, 0.2)
+        pool.submit(time.sleep, 0.3)
     pool.close()
-    assert time.perf_counter() - t0 < 0.35
+    assert time.perf_counter() - t0 < 0.55  # serial would be >= 0.6
 
 
 def test_pending_window_is_bounded():
@@ -81,3 +83,37 @@ def test_exceptions_propagate():
         time.sleep(0.05)
         pool.submit(lambda: None)
         pool.close()
+
+
+def test_context_manager_aborts_on_error():
+    """Leaving the `with` block on an exception must NOT finalize queued
+    frames (a failing CLI shouldn't keep writing PNGs behind the traceback)
+    and must shut the executor down so nothing leaks to atexit."""
+    finalized = []
+    ran = []
+
+    def task(i):
+        time.sleep(0.05)
+        ran.append(i)
+        return i
+
+    with pytest.raises(RuntimeError, match="device loop failed"):
+        with HostWorkPool(1, finalized.append) as pool:
+            for i in range(6):
+                pool.submit(task, i)
+            raise RuntimeError("device loop failed")
+    assert pool._pool is None  # executor shut down
+    n_after_abort = len(ran)
+    time.sleep(0.2)
+    assert len(ran) == n_after_abort  # cancelled tasks never ran
+    assert finalized == sorted(finalized)  # any pre-error finalizes ordered
+    assert len(finalized) < 6
+
+
+def test_context_manager_closes_on_success():
+    out = []
+    with HostWorkPool(2, out.append) as pool:
+        for i in range(5):
+            pool.submit(lambda k: k, i)
+    assert out == list(range(5))
+    assert pool._pool is None
