@@ -64,22 +64,27 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
     uint8-sourced (x = k/255), so ``round(x·255) − 128`` recovers the
     centered byte exactly and a²+b²−2ab accumulates in int32 with zero
     rounding — 4× less bank HBM than f32 and immune to the f32 path's
-    near-tie misranking. Not combinable with ``use_pallas`` (f32/bf16 kernel).
+    near-tie misranking. ``use_pallas`` composes: the streaming kernel runs
+    the same exact int32 arithmetic while moving 4× fewer bank bytes.
     """
     b = noisy.shape[0]
     noisy_flat = jax.lax.stop_gradient(noisy).reshape(b, -1)
     if memory_noise_flat.dtype == jnp.int8:
-        if use_pallas:
-            raise ValueError(
-                "int8 banks use the XLA retrieval path; the streaming Pallas "
-                "kernel is f32/bf16 — drop --pallas_retrieval or use "
-                "--bank_dtype float32/bfloat16"
-            )
         q = (jnp.round(noisy_flat * 255.0) - 128.0).astype(jnp.int8)
-        qi = q.astype(jnp.int32)
         if sq_norms is None:
             bi = memory_noise_flat.astype(jnp.int32)
             sq_norms = jnp.sum(bi * bi, axis=1)
+        if use_pallas:
+            from ..memory.retrieval_pallas import top1_l2_retrieval
+
+            n, d = memory_noise_flat.shape
+            tile_d = 2048 if d % 2048 == 0 else d
+            tile_n = 512 if n % 512 == 0 else n
+            idx = top1_l2_retrieval(q, memory_noise_flat,
+                                    sq_norms.astype(jnp.int32),
+                                    tile_n=tile_n, tile_d=tile_d)
+            return jnp.take(memory_clean, idx, axis=0)
+        qi = q.astype(jnp.int32)
         a2 = jnp.sum(qi * qi, axis=1, keepdims=True)  # [B,1] int32
         ab = jax.lax.dot_general(
             q, memory_noise_flat,

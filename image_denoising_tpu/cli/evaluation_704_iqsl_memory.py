@@ -52,7 +52,7 @@ def parse_args(argv=None):
                         help="noise-bank storage dtype. bf16 halves HBM; "
                              "int8 quarters it AND computes exact integer "
                              "distances on the MXU's double-rate int8 path "
-                             "(uint8-sourced patches; not combinable with "
+                             "(uint8-sourced patches; composes with "
                              "--pallas_retrieval)")
     parser.add_argument("--tile_batch", type=int, default=-8,
                         help="-k = lax.map scan over k-tile chunks; 0 = one "
@@ -89,12 +89,6 @@ def parse_args(argv=None):
 
 def main(argv=None):
     opt = parse_args(argv)
-    if opt.bank_dtype == "int8" and opt.pallas_retrieval:
-        raise SystemExit(
-            "--bank_dtype int8 computes exact integer distances on the XLA "
-            "retrieval path; drop --pallas_retrieval (the streaming Pallas "
-            "kernel is f32/bf16)"
-        )
 
     from ..adapters import DenoiserWithMemoryAdapter
     from ..ckpt import load_checkpoint

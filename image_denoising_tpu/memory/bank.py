@@ -119,21 +119,33 @@ def build_memory_bank(
         # centered exact-integer bank: inputs are uint8-sourced, so
         # round(x·255) recovers the original byte exactly; −128 recenters
         # into int8 range (distances are shift-invariant)
-        assert not pad_to, (
-            "int8 banks use the XLA retrieval path (the streaming Pallas "
-            "kernel is f32/bf16) — build without pad_to / --pallas_retrieval"
-        )
         noise_int = np.round(noise_flat * 255.0).astype(np.int32) - 128
         sq_norms = np.sum(noise_int * noise_int, axis=1, dtype=np.int64)
         assert sq_norms.max(initial=0) < np.iinfo(np.int32).max
+        sq_norms = sq_norms.astype(np.int32)
+        noise_int8 = noise_int.astype(np.int8)
+        if pad_to:
+            # Pallas tile padding: zero rows with INT32_MAX norms (the
+            # int analog of the float path's +inf — never selected)
+            n_pad = (-n) % pad_to
+            if n_pad:
+                noise_int8 = np.concatenate(
+                    [noise_int8,
+                     np.zeros((n_pad, noise_int8.shape[1]), np.int8)]
+                )
+                sq_norms = np.concatenate(
+                    [sq_norms,
+                     np.full((n_pad,), np.iinfo(np.int32).max, np.int32)]
+                )
         print(
             f"[MemoryBank] #clean patches={n}, patch_size={patch_size}, "
             f"stride={stride}, dtype=int8 (exact integer distances)"
+            + (f", padded to {noise_int8.shape[0]}" if pad_to else "")
         )
         return MemoryBank(
-            noise_flat=jnp.asarray(noise_int.astype(np.int8)),
+            noise_flat=jnp.asarray(noise_int8),
             clean=jnp.asarray(clean, jnp.float32),
-            sq_norms=jnp.asarray(sq_norms.astype(np.int32)),
+            sq_norms=jnp.asarray(sq_norms),
             patch_size=patch_size,
             stride=stride,
         )

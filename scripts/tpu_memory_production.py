@@ -12,8 +12,10 @@ Writes PNGs + metrics under /tmp/mem_prod; prints one JSON line at the end.
 
 Usage: python scripts/tpu_memory_production.py [bank_mode]
   bank_mode: "bf16_pallas" (default — bf16 bank + streaming Pallas kernel),
-  "int8" (centered int8 bank, exact integer distances, XLA retrieval —
-  1.7 GB noise bank), or "f32" (10.3 GB f32 banks, XLA retrieval).
+  "int8" (centered int8 bank, exact integer distances, XLA retrieval,
+  1.7 GB noise bank), "int8_pallas" (the same exact-int32 bank streamed
+  through the Pallas kernel — 4x fewer bank bytes than f32), or
+  "f32" (10.3 GB f32 banks, XLA retrieval).
 """
 from __future__ import annotations
 
@@ -48,7 +50,7 @@ def make_dataset(root: str, n: int = 5, hw: int = 704) -> None:
         Image.fromarray(noisy).save(f"{root}/noise/sem0000_{i:02d}.png")
 
 
-MODES = ("bf16_pallas", "int8", "f32")
+MODES = ("bf16_pallas", "int8", "int8_pallas", "f32")
 
 
 def main():
@@ -95,6 +97,7 @@ def main():
     bank_flags = {
         "bf16_pallas": ["--bank_dtype", "bfloat16", "--pallas_retrieval"],
         "int8": ["--bank_dtype", "int8"],
+        "int8_pallas": ["--bank_dtype", "int8", "--pallas_retrieval"],
         "f32": ["--bank_dtype", "float32"],
     }[mode]
 

@@ -110,3 +110,92 @@ def test_subsampler_pallas_uniformity(rng):
         counts[lut[(int(p[0]), int(p[1]))]] += 1
     freq = counts / counts.sum()
     assert np.all(np.abs(freq - 1 / 8) < 0.03), freq
+
+
+def test_retrieval_kernel_int8_exact_interpret(rng):
+    """int8 bank: the streaming kernel's int32 distances must match the XLA
+    int8 oracle EXACTLY (indices equal, not just close), including padded
+    rows and first-min tie-breaking."""
+    from jax.experimental import pallas as pl
+
+    import image_denoising_tpu.memory.retrieval_pallas as rp
+
+    b, n, d = 4, 90, 256
+    bank_u8 = rng.integers(0, 256, (n, d))
+    bank_i8 = (bank_u8 - 128).astype(np.int8)
+    # duplicate a row to force a tie: first index must win
+    bank_i8[57] = bank_i8[3]
+    sqn = np.sum(bank_i8.astype(np.int64) ** 2, axis=1).astype(np.int32)
+
+    q_u8 = bank_u8[[3, 10, 20, 88]]
+    q_i8 = (q_u8 - 128).astype(np.int8)
+    q_i8[0] = bank_i8[3]  # exact-duplicate query hits the tied pair
+
+    # XLA int32 oracle
+    qi = q_i8.astype(np.int64)
+    bi = bank_i8.astype(np.int64)
+    dists = np.sum(qi**2, 1, keepdims=True) + np.sum(bi**2, 1)[None] - 2 * qi @ bi.T
+    idx_ref = np.argmin(dists, axis=1)
+    assert idx_ref[0] == 3  # tie broke to the first duplicate
+
+    bank_j, sqn_j = rp.pad_bank_for_retrieval(
+        jnp.asarray(bank_i8), jnp.asarray(sqn), tile_n=32
+    )
+    assert int(sqn_j[-1]) == np.iinfo(np.int32).max  # int padding rule
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    pl.pallas_call = patched
+    try:
+        idx = rp.top1_l2_retrieval(
+            jnp.asarray(q_i8), bank_j, sqn_j, tile_n=32, tile_d=64
+        )
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+
+
+def test_select_memory_patch_int8_pallas_matches_xla(rng):
+    """select_memory_patch on an int8 bank: use_pallas=True returns the
+    SAME clean patches as the XLA int8 path (both are exact int32)."""
+    from jax.experimental import pallas as pl
+
+    from image_denoising_tpu.adapters.wrappers import select_memory_patch
+    from image_denoising_tpu.memory.retrieval_pallas import (
+        pad_bank_for_retrieval,
+    )
+
+    p, c, n, b = 8, 1, 70, 4
+    d = p * p * c
+    bank_u8 = rng.integers(0, 256, (n, d))
+    bank_i8 = jnp.asarray((bank_u8 - 128).astype(np.int8))
+    sqn = jnp.asarray(
+        np.sum((bank_u8 - 128).astype(np.int64) ** 2, axis=1).astype(np.int32))
+    clean = jnp.asarray(rng.random((n, p, p, c), dtype=np.float32))
+    noisy = jnp.asarray(
+        (bank_u8[rng.integers(0, n, b)] / 255.0).astype(np.float32)
+    ).reshape(b, p, p, c)
+
+    ref = select_memory_patch(noisy, bank_i8, clean, sqn, use_pallas=False)
+
+    bank_pad, sqn_pad = pad_bank_for_retrieval(bank_i8, sqn, tile_n=32)
+    clean_pad = jnp.concatenate(
+        [clean, jnp.zeros((bank_pad.shape[0] - n, p, p, c), jnp.float32)])
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    pl.pallas_call = patched
+    try:
+        # tile_n=32 divides the padded N; tile_d=d (64) divides D
+        out = select_memory_patch(noisy, bank_pad, clean_pad, sqn_pad,
+                                  use_pallas=True)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

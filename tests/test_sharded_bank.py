@@ -214,7 +214,8 @@ def _int8_twin_banks(rng, n, ps=8, c=1):
 def test_int8_retrieval_matches_f32(rng):
     """int8 banks (exact integer distances on the int8 MXU path) retrieve the
     same patches as the f32 path on uint8-sourced data; tie-breaking stays
-    first-min; combining with the Pallas kernel raises."""
+    first-min. (int8 + Pallas exactness lives in
+    test_pallas_kernels.test_select_memory_patch_int8_pallas_matches_xla.)"""
     i8, f32, noise_u8 = _int8_twin_banks(rng, 33)
     q_u8 = rng.integers(0, 256, (7, 8, 8, 1)).astype(np.uint8)
     queries = jnp.asarray(q_u8.astype(np.float32) / 255.0)
@@ -245,10 +246,6 @@ def test_int8_retrieval_matches_f32(rng):
                                   i8_dup.sq_norms)
     np.testing.assert_allclose(np.asarray(got_dup)[0],
                                np.asarray(f32_dup.clean)[3], atol=0)
-
-    with pytest.raises(ValueError, match="int8"):
-        select_memory_patch(queries, i8.noise_flat, i8.clean, i8.sq_norms,
-                            use_pallas=True)
 
 
 def test_int8_ring_matches_replicated(rng):
