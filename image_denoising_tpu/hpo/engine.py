@@ -73,14 +73,28 @@ class TPESampler:
         self.n_candidates = n_candidates
         self.gamma = gamma
         self.rng = np.random.default_rng(seed)
+        # np.random.Generator is NOT thread-safe; Study.optimize(n_jobs>1)
+        # calls sample() from concurrent trial threads (the reference keeps
+        # per-trial RNG isolated via fork_rng, train_opt.py:236-239 — this is
+        # the equivalent care for the shared sampler state). RLock because
+        # sample() falls through to _random() during startup.
+        self._rng_lock = threading.RLock()
 
     # --- random draws ---
     def _random(self, dist):
+        with self._rng_lock:
+            return self._random_locked(dist)
+
+    def _random_locked(self, dist):
         if isinstance(dist, _IntDist):
             return int(self.rng.choice(dist.grid()))
         if isinstance(dist, _FloatDist):
             if dist.log:
-                return float(np.exp(self.rng.uniform(np.log(dist.low), np.log(dist.high))))
+                # exp(log(high)) can land 1 ULP outside the bound — clamp
+                # back to the domain (optuna clips float suggestions too)
+                v = float(np.exp(self.rng.uniform(np.log(dist.low),
+                                                  np.log(dist.high))))
+                return min(max(v, dist.low), dist.high)
             return float(self.rng.uniform(dist.low, dist.high))
         if isinstance(dist, _CatDist):
             return dist.choices[int(self.rng.integers(len(dist.choices)))]
@@ -89,6 +103,10 @@ class TPESampler:
     # --- TPE ---
     def sample(self, dist, history: List[tuple]):
         """history: [(value_of_param, objective_value), ...] completed only."""
+        with self._rng_lock:
+            return self._sample_locked(dist, history)
+
+    def _sample_locked(self, dist, history: List[tuple]):
         obs = [(x, y) for x, y in history if y is not None and np.isfinite(y)]
         if len(obs) < self.n_startup_trials:
             return self._random(dist)
@@ -131,7 +149,8 @@ class TPESampler:
             grid = dist.grid()
             val = int(grid[np.argmin(np.abs(grid - val))])
             return val
-        return float(val)
+        # exp(clip(·, log(high))) can exceed high by 1 ULP — clamp to domain
+        return min(max(float(val), dist.low), dist.high)
 
 
 # ---------------------------------------------------------------------------
@@ -235,9 +254,13 @@ class Study:
     # --- sampling helpers ---
     def _param_history(self, name):
         sign = 1.0 if self.direction == "minimize" else -1.0
+        # snapshot under the study lock: concurrent trial threads append to
+        # self.trials and flip t.value mid-iteration under n_jobs>1
+        with self._lock:
+            trials = list(self.trials)
         return [
             (t.params[name], sign * t.value)
-            for t in self.trials
+            for t in trials
             if name in t.params and t.value is not None
         ]
 
