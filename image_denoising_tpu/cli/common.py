@@ -47,6 +47,7 @@ __all__ = [
     "MetricsWriter",
     "jitted_apply",
     "batched_frame_forward",
+    "add_blindspot_flag",
     "add_dtype_flag",
     "resolve_dtype",
     "iter_bursts",
@@ -123,6 +124,8 @@ def drain_burst(item, cache, fetch_pred=True, pick=lambda out: (out, ())):
     Cache entries are ``(pred_or_None, *extras_j, device_metrics_or_None)``;
     with ``fetch_pred=False`` (``--device_metrics --save_images none``) the
     prediction batch is never fetched — the per-frame D2H is scalars only.
+    Returns the drained ``chunk`` (frame indices) so callers can attribute
+    wall-clock to bursts (``--timing_json``).
     """
     chunk, out, m_dev = item
     pred_dev, extras_dev = pick(out)
@@ -133,6 +136,19 @@ def drain_burst(item, cache, fetch_pred=True, pick=lambda out: (out, ())):
         p = pred[k] if pred is not None else None
         dm = tuple(x[k] for x in m) if m is not None else None
         cache[j] = (p, *(e[k] for e in extras), dm)
+    return chunk
+
+
+def add_blindspot_flag(parser) -> None:
+    """--blindspot: 4-rotation blindspot UNet/RESNET with the explicit --arch
+    path (the log_name 'blindspot' substring dispatch needs no flag)."""
+    parser.add_argument(
+        "--blindspot", action="store_true",
+        help="build the blindspot variant (4-rotation stack, shifted "
+             "convs/pools) when --arch is given; with log_name dispatch "
+             "use a 'blindspot' substring instead (reference "
+             "train.py:298-302)",
+    )
 
 
 def add_dtype_flag(parser, default: str = "float32") -> None:
@@ -162,12 +178,19 @@ def build_network(
     n_feature: int,
     dtype=None,
     remat: bool = False,
+    blindspot: bool = False,
 ):
-    """Explicit --arch wins; otherwise reference log_name substring dispatch."""
+    """Explicit --arch wins; otherwise reference log_name substring dispatch.
+
+    ``blindspot`` applies to the explicit --arch path (UNet/RESNET); the
+    log_name path carries it through the reference's ``blindspot`` substring
+    dispatch (train.py:298-302) on its own.
+    """
     from ..models.registry import build_model, build_model_from_log_name
 
     if arch:
-        return build_model(arch, n_channel, n_feature, dtype=dtype, remat=remat)
+        return build_model(arch, n_channel, n_feature, dtype=dtype,
+                           remat=remat, blindspot=blindspot)
     if log_name:
         return build_model_from_log_name(log_name, n_channel, n_feature,
                                          dtype=dtype, remat=remat)

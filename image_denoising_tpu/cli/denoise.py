@@ -49,7 +49,10 @@ def parse_args(argv=None):
                         help="uint8 quantization: floor = evaluation_704's "
                              "clip(p*255); round = evaluation.py's +0.5")
     parser.add_argument("--suffix", type=str, default="_denoised")
-    from .common import add_dtype_flag, add_host_workers_flag
+    from .common import (add_blindspot_flag, add_dtype_flag,
+                         add_host_workers_flag)
+
+    add_blindspot_flag(parser)
 
     add_dtype_flag(parser, default="bfloat16")
     add_host_workers_flag(parser)
@@ -71,7 +74,8 @@ def run(opt):
         raise SystemExit(f"no frames found in {opt.input_dir}")
 
     network = build_network(opt.arch, opt.log_name, opt.n_channel,
-                            opt.n_feature, dtype=resolve_dtype(opt.dtype))
+                            opt.n_feature, dtype=resolve_dtype(opt.dtype),
+                            blindspot=getattr(opt, "blindspot", False))
     params = load_params(opt.checkpoint, network)
     fwd = jitted_apply(network, params)
     print(f"Loaded checkpoint from {opt.checkpoint}; "

@@ -36,8 +36,10 @@ def parse_args(argv=None):
                              "the host float64 MATLAB-SSIM). With "
                              "--save_images none the prediction is never "
                              "fetched to the host.")
-    from .common import add_dtype_flag, add_host_workers_flag
+    from .common import (add_blindspot_flag, add_dtype_flag,
+                         add_host_workers_flag)
 
+    add_blindspot_flag(parser)
     add_dtype_flag(parser)
     add_host_workers_flag(parser)
     return parser.parse_args(argv)
@@ -56,7 +58,8 @@ def evaluate(opt):
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
 
     network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature,
-                            dtype=resolve_dtype(getattr(opt, "dtype", None)))
+                            dtype=resolve_dtype(getattr(opt, "dtype", None)),
+                            blindspot=getattr(opt, "blindspot", False))
     params = load_params(opt.checkpoint, network)
     fwd = jitted_apply(network, params)
     print(f"Loaded checkpoint from {opt.checkpoint}")

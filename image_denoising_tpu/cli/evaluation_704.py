@@ -63,8 +63,10 @@ def parse_args(argv=None):
     parser.add_argument("--compute_iq_iou", action="store_true")
     parser.add_argument("--iq_low_q", type=float, default=0.25)
     parser.add_argument("--iq_high_q", type=float, default=0.75)
-    from .common import add_dtype_flag, add_host_workers_flag
+    from .common import (add_blindspot_flag, add_dtype_flag,
+                         add_host_workers_flag)
 
+    add_blindspot_flag(parser)
     add_dtype_flag(parser)
     add_host_workers_flag(parser)
     return parser.parse_args(argv)
@@ -82,7 +84,8 @@ def evaluate(opt):
     clean_imgs, noisy_imgs, clean_paths, noisy_paths = validation_denoise(opt.data_dir)
 
     network = build_network(opt.arch, opt.log_name, opt.n_channel, opt.n_feature,
-                            dtype=resolve_dtype(getattr(opt, "dtype", None)))
+                            dtype=resolve_dtype(getattr(opt, "dtype", None)),
+                            blindspot=getattr(opt, "blindspot", False))
     params = load_params(opt.checkpoint, network)
     fwd = jitted_apply(network, params)
     print(f"Loaded checkpoint from {opt.checkpoint}")

@@ -66,8 +66,9 @@ def parse_args(argv=None):
                         help="N2N mask-pair source: xla (reproducible "
                              "counter-keys, any backend) or pallas (fused "
                              "on-core PRNG kernel, TPU only)")
-    from .common import add_dtype_flag
+    from .common import add_blindspot_flag, add_dtype_flag
 
+    add_blindspot_flag(parser)
     add_dtype_flag(parser)
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
                         default=True,
@@ -106,7 +107,7 @@ def main(argv=None):
 
     network = build_network(opt.arch, opt.log_name, opt.n_channel,
                             opt.n_feature, dtype=resolve_dtype(opt.dtype),
-                            remat=opt.remat)
+                            remat=opt.remat, blindspot=opt.blindspot)
 
     # infer frame geometry from the first pair for init
     c0, n0 = dataset.get(0)
