@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N,
-   "device_mps": N, "mfu_pct": N, "train_s_per_step": N, "train_vs_baseline": N}
+   "device_mps": N, "mfu_pct": N, "train_s_per_step": N, "train_vs_baseline": N,
+   "train_s_per_step_bf16": N, "train_bf16_vs_baseline": N}
 
 Workloads (the reference's production geometries):
 * value — END-TO-END inference throughput: ImprovedUNet(n_feature=48,
@@ -230,6 +231,28 @@ def main():
         # (understated) MFU, comparable with mfu_pct above
         train_mfu = round(100.0 * TRAIN_FLOPS_PER_STEP / s_per_step / peak, 2)
 
+    # TRAIN STEP, bf16 compute (the production fast path: cli/train.py
+    # --dtype bfloat16; params stay f32, loss trajectory pinned vs f32 by
+    # tests/test_bf16_compute.py). Same workload/lag-1 protocol as above.
+    bmodel = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48, remat=True,
+                          dtype=jnp.bfloat16)
+    bparams = jax.jit(bmodel.init)(jax.random.PRNGKey(0), x0)["params"]
+    bstate = create_train_state(bparams, lr=3e-4)
+    bstep = make_structure_train_step(bmodel.apply)
+    bstate, m = bstep(bstate, clean, noisy)
+    float(m["loss"])  # compile + fetch
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(n_steps):
+        bstate, m = bstep(bstate, clean, noisy)
+        if pending is not None:
+            loss = float(pending["loss"])
+        pending = m
+    loss = float(pending["loss"])
+    dt_bf16 = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    s_per_step_bf16 = dt_bf16 / n_steps
+
     eval_base, train_base = _load_baselines()
     out = {
         "metric": "tiled352_denoise_throughput",
@@ -241,6 +264,10 @@ def main():
         "train_s_per_step": round(s_per_step, 4),
         "train_vs_baseline": round(train_base / s_per_step, 1) if train_base else None,
         "train_mfu_pct": train_mfu,
+        "train_s_per_step_bf16": round(s_per_step_bf16, 4),
+        "train_bf16_vs_baseline": (
+            round(train_base / s_per_step_bf16, 1) if train_base else None
+        ),
     }
     print(json.dumps(out))
 
