@@ -76,7 +76,15 @@ def _kernel(q_ref, sqn_ref, bank_ref, out_idx_ref, ab_acc, best_d, best_i):
         # dist (up to the constant a²) = b² − 2ab
         dist = sqn_ref[:] - 2 * ab_acc[:]
         tile_min = jnp.min(dist, axis=1)  # [B]
-        tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32)  # first-min
+        # first-min argmin without the reduce-with-index primitive: Mosaic's
+        # argmin lowering is f32-only (jax _reduce_index_helper raises
+        # NotImplementedError for the int32 distances of int8 banks), so take
+        # the SMALLEST index where dist hits the row min — identical
+        # tie-breaking (torch argmin = first minimum) on every dtype.
+        iota = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        tile_arg = jnp.min(
+            jnp.where(dist == tile_min[:, None], iota, tile_n), axis=1
+        )
         global_arg = i * tile_n + tile_arg
         improve = tile_min < best_d[:, 0]  # strict < keeps earlier tiles on tie
         best_i[:, 0] = jnp.where(improve, global_arg, best_i[:, 0])

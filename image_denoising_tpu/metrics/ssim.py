@@ -163,9 +163,15 @@ def ssim_jax(pred, target):
         xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
         xp = xp[..., None]  # NHWC, C=1
         w = window[..., None, None]  # HWIO
+        # HIGHEST: TPU f32 convs default to bf16 MXU passes, which loses
+        # ~3 digits through the sigma = E[x²]−µ² cancellation (measured
+        # 6.7e-4 SSIM error on v5e vs host f64 — run_tpu_checks
+        # check_device_metrics pins ≤1e-4). The 11×11 window is a trivial
+        # FLOP share, so full-f32 passes cost nothing measurable.
         y = lax.conv_general_dilated(
             xp, w, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
         )
         return y[..., 0][:, 5:-5, 5:-5]
 
