@@ -79,6 +79,14 @@ def parse_args(argv=None):
                              "stay device-resident and the per-frame D2H is "
                              "a handful of scalars (PERF §9.1). Implies the "
                              "burst pipeline (frame_burst >= 1).")
+    parser.add_argument("--timing_json", type=str, default=None,
+                        help="write per-burst drain timestamps (wall seconds "
+                             "since CLI start, drained frame indices, frame "
+                             "pixel count) to this path — the steady-state "
+                             "throughput protocol: late drain-to-drain gaps "
+                             "exclude compile AND the max_inflight pre-"
+                             "executed backlog (scripts/tpu_memory_"
+                             "production.py, PERF §7)")
     from .common import add_dtype_flag, add_host_workers_flag
 
     add_dtype_flag(parser)
@@ -228,6 +236,11 @@ def main(argv=None):
         burst_stream = iter_bursts(by_shape, _get_frame, fb, make_runner,
                                    extra=extra, post=post)
 
+    import time
+
+    t_start = time.perf_counter()
+    drain_log: list = []  # [{"t": s_since_start, "frames": [...]}]
+
     writer = MetricsWriter()
 
     def _host_pass(i, noisy_name, clean255, pred255, dev_m):
@@ -263,7 +276,12 @@ def main(argv=None):
             dev_m = None
             if burst_stream is not None:
                 while i not in pred_cache:
-                    drain_burst(next(burst_stream), pred_cache, fetch_pred)
+                    chunk = drain_burst(next(burst_stream), pred_cache,
+                                        fetch_pred)
+                    drain_log.append({
+                        "t": round(time.perf_counter() - t_start, 4),
+                        "frames": list(chunk),
+                    })
                 pred255, dev_m = pred_cache.pop(i)
             else:
                 # uint8 quantization (reference: clip(p·255 + 0.5)) fused on device
@@ -275,6 +293,13 @@ def main(argv=None):
                 ).squeeze(-1)
 
             pool.submit(_host_pass, i, noisy_name, clean255, pred255, dev_m)
+
+    if opt.timing_json and drain_log:
+        import json
+
+        px = int(np.shape(noisy_imgs[0])[0]) * int(np.shape(noisy_imgs[0])[1])
+        with open(opt.timing_json, "w") as f:
+            json.dump({"px_per_frame": px, "drains": drain_log}, f)
 
     writer.write(opt.save_dir)
     avg = writer.averages()

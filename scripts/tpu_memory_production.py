@@ -10,12 +10,18 @@ it through the Pallas retrieval kernel.
 
 Writes PNGs + metrics under /tmp/mem_prod; prints one JSON line at the end.
 
-Usage: python scripts/tpu_memory_production.py [bank_mode]
+Usage: python scripts/tpu_memory_production.py [bank_mode] [frames] [serve]
   bank_mode: "bf16_pallas" (default — bf16 bank + streaming Pallas kernel),
   "int8" (centered int8 bank, exact integer distances, XLA retrieval,
   1.7 GB noise bank), "int8_pallas" (the same exact-int32 bank streamed
   through the Pallas kernel — 4x fewer bank bytes than f32), or
   "f32" (10.3 GB f32 banks, XLA retrieval).
+  frames: eval-frame count (default 5; the bank always uses the first 5
+  pairs). 40 → ten identical burst-4 dispatches, which is the steady-state
+  protocol (see steady_mps below; >= 6 bursts needed for a defined number).
+  serve: literal "serve" scores PSNR on-device with no PNG writes
+  (--device_metrics --save_images none), so drain gaps measure the DEVICE
+  regime rather than the 1-core host's metric/PNG pass.
 """
 from __future__ import annotations
 
@@ -57,10 +63,13 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "bf16_pallas"
     if mode not in MODES:
         # fail before the fixture/checkpoint prep + TPU-tunnel work
-        sys.exit(f"usage: {sys.argv[0]} [{'|'.join(MODES)}] (got {mode!r})")
+        sys.exit(f"usage: {sys.argv[0]} [{'|'.join(MODES)}] [frames] [serve] "
+                 f"(got {mode!r})")
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    serve = len(sys.argv) > 3 and sys.argv[3] == "serve"
 
-    root = "/tmp/mem_prod_data"
-    make_dataset(root)
+    root = f"/tmp/mem_prod_data_{frames}"
+    make_dataset(root, n=frames)
 
     from image_denoising_tpu.cli import evaluation_704_iqsl_memory as mem_cli
 
@@ -101,6 +110,10 @@ def main():
         "f32": ["--bank_dtype", "float32"],
     }[mode]
 
+    timing_path = "/tmp/mem_prod_timing.json"
+    serve_flags = (
+        ["--device_metrics", "--save_images", "none"] if serve else []
+    )
     t0 = time.perf_counter()
     avg = mem_cli.main([
         "--data_dir", root,
@@ -115,11 +128,34 @@ def main():
         "--memory_stride", "4",
         "--dtype", "bfloat16",
         "--frame_burst", "4",  # round-3 burst mode (PERF §7: best at 4)
-    ] + bank_flags)
+        "--timing_json", timing_path,
+    ] + bank_flags + serve_flags)
     wall = time.perf_counter() - t0
+
+    # steady-state MP/s over drains[SKIP:]: iter_bursts keeps max_inflight=3
+    # bursts dispatched ahead, so when drain 1 returns (compile + burst-1
+    # exec), bursts 2..3 have ALREADY executed on-device behind it and their
+    # drains measure only fetch latency (measured: 0.03 s gaps). Honest
+    # device-rate gaps start once that pre-executed backlog is emptied —
+    # drop the first SKIP drains and time the rest, which each block on real
+    # burst execution. Undefined (None) below 2 post-skip drains.
+    steady_mps = None
+    SKIP = 3  # = iter_bursts max_inflight
+    if os.path.exists(timing_path):
+        with open(timing_path) as f:
+            timing = json.load(f)
+        drains = timing["drains"]
+        if len(drains) >= SKIP + 2:
+            n_late = sum(len(d["frames"]) for d in drains[SKIP + 1:])
+            dt = drains[-1]["t"] - drains[SKIP]["t"]
+            if dt > 0:
+                steady_mps = round(
+                    n_late * timing["px_per_frame"] / 1e6 / dt, 3
+                )
     print(json.dumps({
         "kind": "memory_production", "psnr": round(avg.get("psnr", 0), 2),
-        "wall_s": round(wall, 1), "frames": 5,
+        "wall_s": round(wall, 1), "frames": frames,
+        "steady_mps": steady_mps, "serve": serve,
         "config": f"patch128/overlap64/5imgs/stride4/{mode}/burst4",
     }))
 
