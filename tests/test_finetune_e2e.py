@@ -175,11 +175,29 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
     # the lazily-drained --frame_burst CLI path (burst 2 over 3 frames, so a
     # padded tail burst) must reproduce the single-frame path byte-for-byte
     # at the same tile chunking
+    timing_path = str(tmp_path / "timing.json")
     avg_fb = evaluation_704_iqsl_memory.main(
         eval_args + ["--save_dir", str(tmp_path / "eval_mem_fb"),
-                     "--frame_burst", "2"])
+                     "--frame_burst", "2", "--timing_json", timing_path])
     for k in avg:
         np.testing.assert_allclose(avg_fb[k], avg[k], rtol=1e-6, err_msg=k)
+    # --timing_json (the steady-state throughput protocol): every frame
+    # drained exactly once, timestamps monotone, px_per_frame correct
+    import json as _json
+
+    with open(timing_path) as fh:
+        timing = _json.load(fh)
+    drained = sorted(i for d in timing["drains"] for i in d["frames"])
+    n_frames = len([f for f in os.listdir(os.path.join(fixture_dataset, "noise"))])
+    assert drained == list(range(n_frames)), drained
+    ts = [d["t"] for d in timing["drains"]]
+    assert ts == sorted(ts) and all(t >= 0 for t in ts), ts
+    from PIL import Image as _Image
+
+    first = sorted(os.listdir(os.path.join(fixture_dataset, "noise")))[0]
+    h, w = np.asarray(
+        _Image.open(os.path.join(fixture_dataset, "noise", first))).shape[:2]
+    assert timing["px_per_frame"] == h * w
     from PIL import Image
 
     for f in sorted(os.listdir(tmp_path / "eval_mem")):
