@@ -8,7 +8,12 @@ from .memory_adapters import (
     MEMORY_ADAPTERS,
     build_memory_adapter,
 )
-from .wrappers import DenoiserWithAdapter, DenoiserWithMemoryAdapter
+from .wrappers import (
+    DenoiserWithAdapter,
+    DenoiserWithMemoryAdapter,
+    batched_select_memory_patch,
+    select_memory_patch,
+)
 
 __all__ = [
     "OutputAdapter",
@@ -21,4 +26,6 @@ __all__ = [
     "build_memory_adapter",
     "DenoiserWithAdapter",
     "DenoiserWithMemoryAdapter",
+    "batched_select_memory_patch",
+    "select_memory_patch",
 ]

@@ -24,7 +24,12 @@ import flax.linen as nn
 from .memory_adapters import build_memory_adapter
 from .output_adapter import OutputAdapter
 
-__all__ = ["DenoiserWithAdapter", "DenoiserWithMemoryAdapter"]
+__all__ = [
+    "DenoiserWithAdapter",
+    "DenoiserWithMemoryAdapter",
+    "select_memory_patch",
+    "batched_select_memory_patch",
+]
 
 
 class DenoiserWithAdapter(nn.Module):
@@ -116,11 +121,54 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
     return jnp.take(memory_clean, idx, axis=0)
 
 
+def batched_select_memory_patch(noisy, memory_noise_flat, memory_clean,
+                                sq_norms=None, use_pallas: bool = False,
+                                chunk: int = 128):
+    """One retrieval pass over a WHOLE tile stack in MXU-row-sized query
+    chunks (``lax.map`` over chunks of ``chunk`` queries, zero-padded tail).
+
+    The point is bank traffic: the streaming kernel (and the XLA matmul)
+    sweeps the full bank from HBM once per *call*, so retrieving inside a
+    small tile-scan chunk (the ``--tile_batch -8`` forward shape that the
+    conv engine wants, docs/PERF.md) pays ⌈T/8⌉ bank sweeps per frame where
+    ⌈T/128⌉ suffice — at the production 105k-patch stride-4 bank
+    (``eval_704_iqsl_memory.sh:34-38``) that is ~16× the HBM bytes of this
+    hoisted form. 128-query chunks also fill the MXU's 128-row systolic
+    dimension (B=8 uses 1/16 of it).
+
+    Numerics: identical math per query row; the Pallas kernel's accumulation
+    order over D-tiles is query-independent, and the int8 path is exact
+    integer arithmetic, so results match the per-forward-chunk retrieval.
+    """
+    t = noisy.shape[0]
+    if t <= chunk:
+        return select_memory_patch(noisy, memory_noise_flat, memory_clean,
+                                   sq_norms, use_pallas=use_pallas)
+    pad = (-t) % chunk
+    q = noisy
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.zeros((pad,) + q.shape[1:], q.dtype)], axis=0
+        )
+    chunks = q.reshape(q.shape[0] // chunk, chunk, *q.shape[1:])
+    mem = jax.lax.map(
+        lambda c: select_memory_patch(c, memory_noise_flat, memory_clean,
+                                      sq_norms, use_pallas=use_pallas),
+        chunks,
+    )
+    return mem.reshape(-1, *mem.shape[2:])[:t]
+
+
 class DenoiserWithMemoryAdapter(nn.Module):
     """``retrieval_fn`` overrides the built-in top-1 lookup — e.g. the
     mesh-sharded ring retrieval (``memory.sharded.make_ring_retrieval``) when
     the bank is too big to replicate per chip. Signature:
     ``(noisy, memory_noise_flat, memory_clean, bank_sq_norms) -> mem_clean``.
+
+    ``mem_clean=`` skips retrieval entirely and uses the given patches —
+    the hoisted-retrieval path of the tiled evaluators (retrieve once for
+    the whole tile stack via ``batched_select_memory_patch``, then run the
+    conv forward in its own chunk size).
     """
 
     base: nn.Module
@@ -131,17 +179,19 @@ class DenoiserWithMemoryAdapter(nn.Module):
     retrieval_fn: Callable | None = None  # e.g. sharded-bank ring retrieval
 
     @nn.compact
-    def __call__(self, noisy, memory_noise_flat, memory_clean, bank_sq_norms=None):
+    def __call__(self, noisy, memory_noise_flat, memory_clean,
+                 bank_sq_norms=None, mem_clean=None):
         base_out = jax.lax.stop_gradient(self.base(noisy))
-        if self.retrieval_fn is not None:
-            mem_clean = self.retrieval_fn(
-                noisy, memory_noise_flat, memory_clean, bank_sq_norms
-            )
-        else:
-            mem_clean = select_memory_patch(
-                noisy, memory_noise_flat, memory_clean, bank_sq_norms,
-                use_pallas=self.pallas_retrieval,
-            )
+        if mem_clean is None:
+            if self.retrieval_fn is not None:
+                mem_clean = self.retrieval_fn(
+                    noisy, memory_noise_flat, memory_clean, bank_sq_norms
+                )
+            else:
+                mem_clean = select_memory_patch(
+                    noisy, memory_noise_flat, memory_clean, bank_sq_norms,
+                    use_pallas=self.pallas_retrieval,
+                )
         adapter = build_memory_adapter(
             self.variant, self.in_channels, self.hidden_channels, name="adapter"
         )

@@ -79,6 +79,16 @@ def parse_args(argv=None):
                              "stay device-resident and the per-frame D2H is "
                              "a handful of scalars (PERF §9.1). Implies the "
                              "burst pipeline (frame_burst >= 1).")
+    parser.add_argument("--hoist_retrieval", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="retrieve ALL tiles' memory patches in one pass "
+                             "(128-query MXU-row chunks) before the tile-scan "
+                             "forward, instead of re-sweeping the bank from "
+                             "HBM inside every --tile_batch chunk — ~16x less "
+                             "bank traffic at the production stride-4 bank. "
+                             "--no_hoist_retrieval restores the per-chunk "
+                             "retrieval (A/B + the --bank_sharded ring path, "
+                             "which always retrieves per chunk).")
     parser.add_argument("--timing_json", type=str, default=None,
                         help="write per-burst drain timestamps (wall seconds "
                              "since CLI start, drained frame indices, frame "
@@ -154,10 +164,38 @@ def main(argv=None):
     params = {"base": base_params, "adapter": adapter_params}
     print(f"Loaded base from {opt.base_ckpt}; adapter from {opt.adapter_ckpt}")
 
-    def model_call(tiles, params, bank_noise, bank_clean, bank_norms):
-        return wrapper.apply(
-            {"params": params}, tiles, bank_noise, bank_clean, bank_norms
-        )
+    # Hoisted retrieval (default): one bank pass for the whole tile stack in
+    # 128-query chunks, retrieved patches ride along as extra channels so the
+    # conv forward keeps its own chunk size without re-sweeping the bank
+    # (adapters.batched_select_memory_patch). The ring path retrieves inside
+    # the forward by construction (queries sharded with the tiles).
+    hoist = bool(getattr(opt, "hoist_retrieval", True)) and retrieval_fn is None
+    if hoist:
+        import jax.numpy as jnp
+
+        from ..adapters import batched_select_memory_patch
+
+        c = opt.n_channel
+
+        def pre_tile_fn(tiles, params, bank_noise, bank_clean, bank_norms):
+            mem = batched_select_memory_patch(
+                tiles, bank_noise, bank_clean, bank_norms,
+                use_pallas=opt.pallas_retrieval,
+            )
+            return jnp.concatenate([tiles, mem.astype(tiles.dtype)], axis=-1)
+
+        def model_call(stack, params, bank_noise, bank_clean, bank_norms):
+            return wrapper.apply(
+                {"params": params}, stack[..., :c], bank_noise, bank_clean,
+                bank_norms, mem_clean=stack[..., c:],
+            )
+    else:
+        pre_tile_fn = None
+
+        def model_call(tiles, params, bank_noise, bank_clean, bank_norms):
+            return wrapper.apply(
+                {"params": params}, tiles, bank_noise, bank_clean, bank_norms
+            )
 
     # --frame_burst: N same-shape frames per dispatch through the Hann frames
     # runner, up to three bursts in flight so H2D/D2H overlap compute (the
@@ -222,7 +260,7 @@ def main(argv=None):
             return make_tiled_hann_runner_frames(
                 model_call, fb, h, w, ps=opt.patch_size,
                 overlap=opt.overlap, batch=tile_batch,
-                out_dtype="uint8_round", mesh=mesh,
+                out_dtype="uint8_round", mesh=mesh, pre_tile_fn=pre_tile_fn,
             )
 
         post = None
@@ -289,7 +327,7 @@ def main(argv=None):
                     model_call, np.asarray(noisy), ps=opt.patch_size,
                     overlap=opt.overlap, batch=tile_batch,
                     extra=(params, bank.noise_flat, bank.clean, bank.sq_norms),
-                    out_dtype="uint8_round", mesh=mesh,
+                    out_dtype="uint8_round", mesh=mesh, pre_tile_fn=pre_tile_fn,
                 ).squeeze(-1)
 
             pool.submit(_host_pass, i, noisy_name, clean255, pred255, dev_m)

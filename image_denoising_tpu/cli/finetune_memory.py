@@ -191,13 +191,39 @@ def main(argv=None):
     save_root = os.path.join(opt.save_model_path, opt.log_name)
     rng = np.random.default_rng(opt.seed)
 
-    # stable callable for the tiled-eval runner cache; params/banks flow as
-    # runtime args so validation never recompiles across epochs
-    def model_call(tiles, adapter_params, bank_noise, bank_clean, bank_norms):
-        return wrapper.apply(
-            {"params": {"base": base_params, "adapter": adapter_params}},
-            tiles, bank_noise, bank_clean, bank_norms,
-        )
+    # stable callables for the tiled-eval runner cache; params/banks flow as
+    # runtime args so validation never recompiles across epochs. Validation
+    # hoists retrieval out of the tile scan (one bank pass per frame in
+    # 128-query chunks, patches as extra channels — see the memory eval CLI);
+    # the ring path retrieves inside the forward by construction.
+    if retrieval_fn is None:
+        from ..adapters import batched_select_memory_patch
+
+        _c = opt.n_channel
+
+        def val_pre_tile_fn(tiles, adapter_params, bank_noise, bank_clean,
+                            bank_norms):
+            mem = batched_select_memory_patch(
+                tiles, bank_noise, bank_clean, bank_norms,
+                use_pallas=opt.pallas_retrieval,
+            )
+            return jnp.concatenate([tiles, mem.astype(tiles.dtype)], axis=-1)
+
+        def model_call(stack, adapter_params, bank_noise, bank_clean,
+                       bank_norms):
+            return wrapper.apply(
+                {"params": {"base": base_params, "adapter": adapter_params}},
+                stack[..., :_c], bank_noise, bank_clean, bank_norms,
+                mem_clean=stack[..., _c:],
+            )
+    else:
+        val_pre_tile_fn = None
+
+        def model_call(tiles, adapter_params, bank_noise, bank_clean, bank_norms):
+            return wrapper.apply(
+                {"params": {"base": base_params, "adapter": adapter_params}},
+                tiles, bank_noise, bank_clean, bank_norms,
+            )
 
     for epoch in range(1, opt.n_epoch + 1):
         epoch_st = time.time()
@@ -259,6 +285,7 @@ def main(argv=None):
                     ps=opt.patch_size, overlap=opt.patch_size // 2,
                     batch=-8,  # sublane-filling tile chunks (docs/PERF.md)
                     extra=(state.params, bank.noise_flat, bank.clean, bank.sq_norms),
+                    pre_tile_fn=val_pre_tile_fn,
                 )
                 pred255 = np.clip(pred * 255.0 + 0.5, 0, 255).astype(np.uint8)
                 psnr = calculate_psnr(pred255.squeeze(-1), clean_np)

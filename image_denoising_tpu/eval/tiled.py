@@ -464,8 +464,15 @@ def _make_hann_blender(grid, window_np: np.ndarray, h: int, w: int, ps: int):
 def make_tiled_hann_runner(
     model_call: Callable, h: int, w: int, ps: int = 128, overlap: int = 64,
     batch: int = 0, *, mesh=None, out_dtype: str = "float32",
+    pre_tile_fn: Callable | None = None,
 ):
-    """One fully-jitted program: frame [H,W] float255 → pred [H,W]."""
+    """One fully-jitted program: frame [H,W] float255 → pred [H,W].
+
+    ``pre_tile_fn(tiles, *extra) -> tiles'`` runs ONCE on the full [T,ps,ps,C]
+    stack before the (possibly chunked) forward — the hoisted-retrieval hook:
+    the memory CLIs retrieve all tiles' bank patches in one pass and return
+    them concatenated as extra channels, so the per-chunk forward never
+    re-sweeps the bank (adapters.batched_select_memory_patch)."""
     batch = _coerce_batch(batch, mesh)
     grid = edge_aligned_grid(h, w, ps, overlap)
     r0s = jnp.asarray([g[0] for g in grid], jnp.int32)
@@ -478,6 +485,8 @@ def make_tiled_hann_runner(
         yy = jnp.arange(ps)
         tiles = img[(r0s[:, None] + yy)[:, :, None], (c0s[:, None] + yy)[:, None, :]]
         tiles = tiles[..., None]
+        if pre_tile_fn is not None:
+            tiles = pre_tile_fn(tiles, *extra)
         n_tiles = tiles.shape[0]
         if mesh is not None:
             tiles, n_tiles = _shard_tiles(tiles, mesh)
@@ -492,6 +501,7 @@ def make_tiled_hann_runner(
 def make_tiled_hann_runner_frames(
     model_call: Callable, n_frames: int, h: int, w: int, ps: int = 128,
     overlap: int = 64, batch: int = 0, *, mesh=None, out_dtype: str = "float32",
+    pre_tile_fn: Callable | None = None,
 ):
     """Frame-batched Hann variant: [F,H,W] float255 → [F,H,W] pred.
 
@@ -516,6 +526,8 @@ def make_tiled_hann_runner_frames(
         tiles = imgs[:, (r0s[:, None] + yy)[:, :, None],
                      (c0s[:, None] + yy)[:, None, :]]  # [F,T,ps,ps]
         tiles = tiles.reshape(n_frames * t, ps, ps, 1)
+        if pre_tile_fn is not None:
+            tiles = pre_tile_fn(tiles, *extra)
         n_tiles = tiles.shape[0]
         if mesh is not None:
             tiles, n_tiles = _shard_tiles(tiles, mesh)
@@ -536,6 +548,7 @@ def denoise_tiled_hann(
     extra=(),
     out_dtype: str = "float32",
     mesh=None,
+    pre_tile_fn: Callable | None = None,
 ):
     """Hann²-blended patchwise denoise (denoise_full_image_patchwise engine).
 
@@ -550,10 +563,12 @@ def denoise_tiled_hann(
         noisy = noisy[..., 0]
     h, w = noisy.shape
     batch = _coerce_batch(batch, mesh)  # cache on the coerced value (see pyr)
-    key = ("hann", id(model_call), h, w, ps, overlap, batch, out_dtype, id(mesh))
+    key = ("hann", id(model_call), h, w, ps, overlap, batch, out_dtype,
+           id(mesh), id(pre_tile_fn))
     run = _RUNNER_CACHE.get(key)
     if run is None:
         run = _RUNNER_CACHE[key] = make_tiled_hann_runner(
-            model_call, h, w, ps, overlap, batch, mesh=mesh, out_dtype=out_dtype
+            model_call, h, w, ps, overlap, batch, mesh=mesh,
+            out_dtype=out_dtype, pre_tile_fn=pre_tile_fn,
         )
     return np.asarray(run(jnp.asarray(noisy), *extra))[..., None]

@@ -215,12 +215,26 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
     assert not [f for f in os.listdir(tmp_path / "eval_mem_none")
                 if f.endswith(".png")]
 
+    # --no_hoist_retrieval (per-forward-chunk retrieval) must reproduce the
+    # hoisted default: int8 distances are exact integers, so the retrieval
+    # indices are chunking-independent -> byte-identical outputs
+    avg_nh = evaluation_704_iqsl_memory.main(
+        eval_args + ["--save_dir", str(tmp_path / "eval_mem_nh"),
+                     "--bank_dtype", "int8", "--no_hoist_retrieval"])
+
     # --bank_dtype int8: exact integer distances must retrieve the same
     # patches as the f32 bank on this uint8-sourced data -> byte-identical
     # outputs and metrics
     avg_i8 = evaluation_704_iqsl_memory.main(
         eval_args + ["--save_dir", str(tmp_path / "eval_mem_i8"),
                      "--bank_dtype", "int8"])
+    for k in avg:
+        np.testing.assert_allclose(avg_nh[k], avg_i8[k], rtol=1e-6, err_msg=k)
+    for f in sorted(os.listdir(tmp_path / "eval_mem_i8")):
+        if f.endswith(".png"):
+            a = np.asarray(Image.open(tmp_path / "eval_mem_i8" / f))
+            b = np.asarray(Image.open(tmp_path / "eval_mem_nh" / f))
+            assert np.array_equal(a, b), f
     for k in avg:
         np.testing.assert_allclose(avg_i8[k], avg[k], rtol=1e-6, err_msg=k)
     for f in sorted(os.listdir(tmp_path / "eval_mem")):

@@ -300,3 +300,61 @@ def test_memory_finetune_step_int8_bank_matches_f32(rng):
     assert abs(loss_f - loss_i) < 1e-7, (loss_f, loss_i)
     for a, b in zip(jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_i)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_batched_select_matches_plain(rng):
+    """The hoisted-retrieval helper (one bank pass over a whole tile stack
+    in query chunks) must return exactly the patches of the per-call path —
+    f32 and exact-int8 banks, non-multiple stack sizes (pad tail)."""
+    from image_denoising_tpu.adapters import (batched_select_memory_patch,
+                                              select_memory_patch)
+
+    bank = _bank(rng, 40)
+    for t in (5, 16, 37):  # < chunk, multiple, padded tail (chunk=16)
+        q = jnp.asarray(rng.random((t, 8, 8, 1)).astype(np.float32))
+        want = select_memory_patch(q, bank.noise_flat, bank.clean,
+                                   bank.sq_norms)
+        got = batched_select_memory_patch(q, bank.noise_flat, bank.clean,
+                                          bank.sq_norms, chunk=16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # int8 bank: centered-byte queries, exact int32 distances
+    bank8, _, _ = _int8_twin_banks(rng, 24)
+    q = jnp.asarray(
+        (rng.integers(0, 256, (19, 8, 8, 1)) / 255.0).astype(np.float32)
+    )
+    want = select_memory_patch(q, bank8.noise_flat, bank8.clean,
+                               bank8.sq_norms)
+    got = batched_select_memory_patch(q, bank8.noise_flat, bank8.clean,
+                                      bank8.sq_norms, chunk=8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_memory_wrapper_precomputed_mem_clean(rng):
+    """mem_clean= must bypass retrieval and reproduce the built-in path
+    bit-for-bit (the hoisted evaluators feed precomputed patches)."""
+    from image_denoising_tpu.adapters import (DenoiserWithMemoryAdapter,
+                                              batched_select_memory_patch)
+    from image_denoising_tpu.models import ImprovedUNet
+
+    bank = _bank(rng, 24, ps=16)
+    base = ImprovedUNet(in_nc=1, out_nc=1, n_feature=8)
+    wrapper = DenoiserWithMemoryAdapter(base=base, in_channels=1,
+                                        hidden_channels=8)
+    q = jnp.asarray(rng.random((6, 16, 16, 1)).astype(np.float32))
+    params = jax.jit(wrapper.init)(
+        jax.random.PRNGKey(0), q, bank.noise_flat, bank.clean, bank.sq_norms
+    )["params"]
+
+    want = jax.jit(wrapper.apply)(
+        {"params": params}, q, bank.noise_flat, bank.clean, bank.sq_norms
+    )
+    mem = batched_select_memory_patch(q, bank.noise_flat, bank.clean,
+                                      bank.sq_norms, chunk=4)
+    got = jax.jit(
+        lambda p, x, m: wrapper.apply(
+            {"params": p}, x, bank.noise_flat, bank.clean, bank.sq_norms,
+            mem_clean=m,
+        )
+    )(params, q, mem)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
