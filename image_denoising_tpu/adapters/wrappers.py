@@ -50,6 +50,26 @@ class DenoiserWithAdapter(nn.Module):
         )(x, base_out)
 
 
+def _clean01(mem):
+    """uint8-stored clean banks (build_memory_bank(clean_dtype="uint8")) come
+    back from the gather as bytes — decode to the exact k/255 floats.
+
+    Decode is a 256-entry table lookup, NOT ``x / 255.``: XLA rewrites the
+    division into a reciprocal multiply, which is 1 ULP off numpy's correctly
+    rounded division for some bytes — the table is built with the same numpy
+    f32 division the f32 bank builder uses, so uint8 storage is bit-identical
+    to the f32-stored bank.
+    """
+    if mem.dtype == jnp.uint8:
+        import numpy as _np
+
+        table = jnp.asarray(
+            _np.arange(256, dtype=_np.float32) / _np.float32(255.0)
+        )
+        return jnp.take(table, mem.astype(jnp.int32))
+    return mem
+
+
 def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
                         use_pallas: bool = False):
     """Top-1 L2 retrieval: ‖noisy − bank‖² via a²+b²−2ab matmul + argmin.
@@ -88,7 +108,7 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
             idx = top1_l2_retrieval(q, memory_noise_flat,
                                     sq_norms.astype(jnp.int32),
                                     tile_n=tile_n, tile_d=tile_d)
-            return jnp.take(memory_clean, idx, axis=0)
+            return _clean01(jnp.take(memory_clean, idx, axis=0))
         qi = q.astype(jnp.int32)
         a2 = jnp.sum(qi * qi, axis=1, keepdims=True)  # [B,1] int32
         ab = jax.lax.dot_general(
@@ -98,7 +118,7 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
         )  # [B,N] int32, exact
         dists = a2 + sq_norms[None, :].astype(jnp.int32) - 2 * ab
         idx = jnp.argmin(dists, axis=1)
-        return jnp.take(memory_clean, idx, axis=0)
+        return _clean01(jnp.take(memory_clean, idx, axis=0))
     if sq_norms is None:
         sq_norms = jnp.sum(memory_noise_flat.astype(jnp.float32) ** 2, axis=1)
     if use_pallas:
@@ -109,7 +129,7 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
         tile_n = 512 if n % 512 == 0 else n
         idx = top1_l2_retrieval(noisy_flat, memory_noise_flat, sq_norms,
                                 tile_n=tile_n, tile_d=tile_d)
-        return jnp.take(memory_clean, idx, axis=0)
+        return _clean01(jnp.take(memory_clean, idx, axis=0))
     a2 = jnp.sum(noisy_flat**2, axis=1, keepdims=True)  # [B,1]
     ab = jax.lax.dot_general(
         noisy_flat, memory_noise_flat,
@@ -118,7 +138,7 @@ def select_memory_patch(noisy, memory_noise_flat, memory_clean, sq_norms=None,
     )  # [B,N]
     dists = a2 + sq_norms[None, :] - 2.0 * ab
     idx = jnp.argmin(dists, axis=1)
-    return jnp.take(memory_clean, idx, axis=0)
+    return _clean01(jnp.take(memory_clean, idx, axis=0))
 
 
 def batched_select_memory_patch(noisy, memory_noise_flat, memory_clean,
@@ -192,6 +212,9 @@ class DenoiserWithMemoryAdapter(nn.Module):
                     noisy, memory_noise_flat, memory_clean, bank_sq_norms,
                     use_pallas=self.pallas_retrieval,
                 )
+        # uint8-stored clean banks (ring retrieval / precomputed mem_clean
+        # pass bytes through) decode to their exact source floats here
+        mem_clean = _clean01(mem_clean)
         adapter = build_memory_adapter(
             self.variant, self.in_channels, self.hidden_channels, name="adapter"
         )

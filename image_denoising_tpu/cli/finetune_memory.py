@@ -70,6 +70,13 @@ def parse_args(argv=None):
                              "distances on the MXU's double-rate int8 path "
                              "(uint8-sourced patches; composes with "
                              "--pallas_retrieval)")
+    parser.add_argument("--clean_bank_dtype", type=str, default="float32",
+                        choices=["float32", "uint8"],
+                        help="clean-bank storage dtype. uint8 stores the "
+                             "source bytes (LOSSLESS for uint8 frames — the "
+                             "post-gather /255 restores the exact floats) at "
+                             "4x less HBM: the production stride-4 clean "
+                             "bank drops 6.9 -> 1.7 GB")
     parser.add_argument("--seed", type=int, default=0)
     from .common import add_dtype_flag
 
@@ -119,6 +126,7 @@ def main(argv=None):
         clean_all[:num_mem], noise_all[:num_mem],
         patch_size=opt.patch_size, stride=opt.memory_stride,
         bank_dtype=opt.bank_dtype,
+        clean_dtype=opt.clean_bank_dtype,
         pad_to=512 if opt.pallas_retrieval else 0,
     )
 

@@ -19,7 +19,12 @@ TPU-native design:
 * squared norms are precomputed once (the ``b²`` term of a²+b²−2ab) — f32 in
   the [0,1] domain, int32 in the centered-int domain for int8 banks (the
   norms exceed 2²⁴, so f32 storage would break integer exactness),
-* the clean bank keeps float32 for exact adapter inputs.
+* the clean bank defaults to float32; ``clean_dtype="uint8"`` stores the
+  source bytes instead — LOSSLESS for uint8-sourced frames (values are
+  exactly k/255; the consumer divides by 255 after the top-1 gather, see
+  adapters.wrappers) and 4× less HBM: the production stride-4 clean bank
+  drops 6.9 GB → 1.7 GB, so int8-noise + uint8-clean fits the whole regime
+  in ~3.4 GB.
 
 Patch ordering matches torch unfold (row-major over valid positions), so
 retrieved indices are comparable with the reference.
@@ -53,7 +58,7 @@ class MemoryBank:
     """Device-resident (noise, clean) patch bank with precomputed norms."""
 
     noise_flat: Any  # [N, D] device array (f32 / bf16 / centered int8)
-    clean: Any  # [N, P, P, C] device array f32
+    clean: Any  # [N, P, P, C] device array f32 (or uint8, /255 after gather)
     sq_norms: Any  # [N] ‖noise_i‖² — f32 ([0,1] domain) or int32 (int8 banks)
     patch_size: int
     stride: int
@@ -63,6 +68,14 @@ class MemoryBank:
         return int(self.noise_flat.shape[0])
 
 
+def _uint8_exact(arr: np.ndarray) -> bool:
+    return (
+        float(arr.min()) >= 0.0
+        and float(arr.max()) <= 255.0
+        and np.array_equal(arr, np.round(arr))
+    )
+
+
 def build_memory_bank(
     clean_paths: List[str],
     noise_paths: List[str],
@@ -70,6 +83,7 @@ def build_memory_bank(
     stride: int,
     bank_dtype: str = "float32",
     pad_to: int = 0,
+    clean_dtype: str = "float32",
 ) -> MemoryBank:
     """Build the bank from image paths (values scaled to [0,1]).
 
@@ -77,21 +91,28 @@ def build_memory_bank(
     +inf squared norms so retrieval never selects them) — required by the
     streaming Pallas retrieval kernel's tile grid. The clean bank stays
     unpadded: padded indices are unreachable.
+
+    ``clean_dtype="uint8"`` stores the clean bank as source bytes (4× less
+    HBM, bit-exact for uint8 frames — the gather consumer divides by 255);
+    refuses non-byte-exact clean frames like the int8 noise path does.
     """
     import jax.numpy as jnp
 
     from ..data.pairs import load_image_f32
 
     assert len(clean_paths) == len(noise_paths) and clean_paths
+    assert clean_dtype in ("float32", "uint8"), clean_dtype
     all_clean, all_noise = [], []
     for cp, npth in zip(clean_paths, noise_paths):
         clean_raw = load_image_f32(cp)
         noise_raw = load_image_f32(npth)
-        if bank_dtype == "int8" and not (
-            float(noise_raw.min()) >= 0.0
-            and float(noise_raw.max()) <= 255.0
-            and np.array_equal(noise_raw, np.round(noise_raw))
-        ):
+        if clean_dtype == "uint8" and not _uint8_exact(clean_raw):
+            raise ValueError(
+                f"--clean_bank_dtype uint8 requires uint8-exact clean frames, "
+                f"but {cp} is not byte-exact (high-bit-depth input?). Use "
+                f"--clean_bank_dtype float32 for this data."
+            )
+        if bank_dtype == "int8" and not _uint8_exact(noise_raw):
             # int8 banks promise EXACT integer distances, which holds only
             # when round(x·255) recovers the source byte exactly. High-bit-
             # depth input (e.g. 16-bit TIFF, data/pairs.py:168-172 applies
@@ -114,6 +135,13 @@ def build_memory_bank(
     noise = np.concatenate(all_noise, axis=0)
     n = noise.shape[0]
     noise_flat = noise.reshape(n, -1)
+
+    if clean_dtype == "uint8":
+        # exact: clean values are k/255 (byte-exactness checked above), so
+        # round(x·255) recovers k and the post-gather /255 is bit-identical
+        clean_dev = jnp.asarray(np.round(clean * 255.0).astype(np.uint8))
+    else:
+        clean_dev = jnp.asarray(clean, jnp.float32)
 
     if bank_dtype == "int8":
         # centered exact-integer bank: inputs are uint8-sourced, so
@@ -144,7 +172,7 @@ def build_memory_bank(
         )
         return MemoryBank(
             noise_flat=jnp.asarray(noise_int8),
-            clean=jnp.asarray(clean, jnp.float32),
+            clean=clean_dev,
             sq_norms=jnp.asarray(sq_norms),
             patch_size=patch_size,
             stride=stride,
@@ -170,7 +198,7 @@ def build_memory_bank(
     )
     return MemoryBank(
         noise_flat=jnp.asarray(noise_flat, dt),
-        clean=jnp.asarray(clean, jnp.float32),
+        clean=clean_dev,
         sq_norms=jnp.asarray(sq_norms, jnp.float32),
         patch_size=patch_size,
         stride=stride,

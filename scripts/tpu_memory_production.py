@@ -14,7 +14,9 @@ Usage: python scripts/tpu_memory_production.py [bank_mode] [frames] [serve]
   bank_mode: "bf16_pallas" (default — bf16 bank + streaming Pallas kernel),
   "int8" (centered int8 bank, exact integer distances, XLA retrieval,
   1.7 GB noise bank), "int8_pallas" (the same exact-int32 bank streamed
-  through the Pallas kernel — 4x fewer bank bytes than f32), or
+  through the Pallas kernel — 4x fewer bank bytes than f32),
+  "int8_pallas_u8clean" (int8 noise + LOSSLESS uint8 clean store: the full
+  stride-4 regime in ~3.4 GB instead of 10.3 GB), or
   "f32" (10.3 GB f32 banks, XLA retrieval).
   frames: eval-frame count (default 5; the bank always uses the first 5
   pairs). 40 → ten identical burst-4 dispatches, which is the steady-state
@@ -56,7 +58,7 @@ def make_dataset(root: str, n: int = 5, hw: int = 704) -> None:
         Image.fromarray(noisy).save(f"{root}/noise/sem0000_{i:02d}.png")
 
 
-MODES = ("bf16_pallas", "int8", "int8_pallas", "f32")
+MODES = ("bf16_pallas", "int8", "int8_pallas", "int8_pallas_u8clean", "f32")
 
 
 def main():
@@ -107,6 +109,11 @@ def main():
         "bf16_pallas": ["--bank_dtype", "bfloat16", "--pallas_retrieval"],
         "int8": ["--bank_dtype", "int8"],
         "int8_pallas": ["--bank_dtype", "int8", "--pallas_retrieval"],
+        # the minimum-HBM production config: int8 noise (exact integer
+        # distances) + uint8 clean (lossless byte store) + streaming kernel
+        # -> ~3.4 GB total for the stride-4 regime (was 10.3 GB f32)
+        "int8_pallas_u8clean": ["--bank_dtype", "int8", "--pallas_retrieval",
+                                "--clean_bank_dtype", "uint8"],
         "f32": ["--bank_dtype", "float32"],
     }[mode]
 

@@ -116,3 +116,38 @@ def test_int8_bank_accepts_uint8_noise(tmp_path):
                              patch_size=8, stride=8, bank_dtype="int8")
     assert bank.noise_flat.dtype.name == "int8"
     assert bank.size == 9
+
+
+def test_uint8_clean_bank_rejects_16bit_clean(tmp_path):
+    """clean_dtype=uint8 is lossless only for byte-exact clean frames —
+    high-bit-depth clean input must be refused, mirroring the int8 noise
+    gate; and the uint8 store must round-trip bit-identically to f32."""
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.memory.bank import build_memory_bank
+
+    rng = np.random.default_rng(9)
+    clean16 = rng.integers(0, 65536, (24, 24), dtype=np.uint16)
+    noise = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    cp, npth = str(tmp_path / "c.tiff"), str(tmp_path / "n.png")
+    Image.fromarray(clean16).save(cp)
+    Image.fromarray(noise).save(npth)
+    with pytest.raises(ValueError, match="uint8-exact clean"):
+        build_memory_bank([cp], [npth], patch_size=8, stride=8,
+                          clean_dtype="uint8")
+    # f32 clean accepts the same data
+    bank = build_memory_bank([cp], [npth], patch_size=8, stride=8)
+    assert bank.clean.dtype == jnp.float32
+
+    # byte-exact clean: uint8 store decodes to the identical f32 patches
+    clean8 = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    cp8 = str(tmp_path / "c8.png")
+    Image.fromarray(clean8).save(cp8)
+    b32 = build_memory_bank([cp8], [npth], patch_size=8, stride=8)
+    b8 = build_memory_bank([cp8], [npth], patch_size=8, stride=8,
+                           clean_dtype="uint8")
+    assert b8.clean.dtype == jnp.uint8
+    from image_denoising_tpu.adapters.wrappers import _clean01
+
+    np.testing.assert_array_equal(np.asarray(_clean01(b8.clean)),
+                                  np.asarray(b32.clean))

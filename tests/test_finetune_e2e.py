@@ -222,12 +222,13 @@ def test_finetune_memory_and_memory_eval(fixture_dataset, base_ckpt, tmp_path):
         eval_args + ["--save_dir", str(tmp_path / "eval_mem_nh"),
                      "--bank_dtype", "int8", "--no_hoist_retrieval"])
 
-    # --bank_dtype int8: exact integer distances must retrieve the same
-    # patches as the f32 bank on this uint8-sourced data -> byte-identical
-    # outputs and metrics
+    # --bank_dtype int8 + --clean_bank_dtype uint8: exact integer distances
+    # retrieve the same patches as the f32 bank on this uint8-sourced data,
+    # and the uint8 clean store decodes to the exact k/255 floats ->
+    # byte-identical outputs and metrics at 8x less total bank HBM
     avg_i8 = evaluation_704_iqsl_memory.main(
         eval_args + ["--save_dir", str(tmp_path / "eval_mem_i8"),
-                     "--bank_dtype", "int8"])
+                     "--bank_dtype", "int8", "--clean_bank_dtype", "uint8"])
     for k in avg:
         np.testing.assert_allclose(avg_nh[k], avg_i8[k], rtol=1e-6, err_msg=k)
     for f in sorted(os.listdir(tmp_path / "eval_mem_i8")):

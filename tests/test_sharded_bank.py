@@ -358,3 +358,70 @@ def test_memory_wrapper_precomputed_mem_clean(rng):
         )
     )(params, q, mem)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_uint8_clean_bank_exact(rng):
+    """clean_dtype="uint8" is LOSSLESS for uint8-sourced clean patches: the
+    post-gather /255 restores the exact floats, so retrieval output is
+    bit-identical to the f32-stored clean bank — replicated select, the
+    batched hoisted path, and the ring over uint8-clean shards."""
+    from image_denoising_tpu.adapters import (batched_select_memory_patch,
+                                              select_memory_patch)
+
+    ps = 8
+    clean_u8 = rng.integers(0, 256, (24, ps, ps, 1)).astype(np.uint8)
+    noise = rng.random((24, ps * ps)).astype(np.float32)
+    norms = jnp.sum(jnp.asarray(noise) ** 2, axis=1)
+    clean_f32 = jnp.asarray(clean_u8.astype(np.float32) / 255.0)
+    clean_dev8 = jnp.asarray(clean_u8)
+
+    q = jnp.asarray(rng.random((9, ps, ps, 1)).astype(np.float32))
+    want = select_memory_patch(q, jnp.asarray(noise), clean_f32, norms)
+    got = select_memory_patch(q, jnp.asarray(noise), clean_dev8, norms)
+    assert got.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    got_b = batched_select_memory_patch(q, jnp.asarray(noise), clean_dev8,
+                                        norms, chunk=4)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want))
+
+    # ring retrieval ppermutes uint8 clean shards (4x less ICI traffic);
+    # the wrapper decodes after retrieval_fn — compare through the wrapper
+    from image_denoising_tpu.adapters import DenoiserWithMemoryAdapter
+    from image_denoising_tpu.models import UNet
+
+    mesh = make_mesh(8)
+    bank8 = MemoryBank(noise_flat=jnp.asarray(noise), clean=clean_dev8,
+                       sq_norms=norms, patch_size=ps, stride=4)
+    sbank = shard_bank(bank8, mesh, "data")
+    assert sbank.clean.dtype == jnp.uint8
+    base = UNet(in_nc=1, out_nc=1, n_feature=8)
+    q32 = jnp.asarray(rng.random((4, 32, 32, 1)).astype(np.float32))
+    bankf = MemoryBank(
+        noise_flat=jnp.asarray(rng.random((16, 32 * 32)).astype(np.float32)),
+        clean=jnp.asarray(
+            rng.integers(0, 256, (16, 32, 32, 1)).astype(np.uint8)
+        ),
+        sq_norms=None, patch_size=32, stride=4,
+    )
+    bankf_norms = jnp.sum(bankf.noise_flat**2, axis=1)
+    w_plain = DenoiserWithMemoryAdapter(base=base, hidden_channels=8)
+    params = jax.jit(w_plain.init)(
+        jax.random.PRNGKey(0), q32, bankf.noise_flat, bankf.clean, bankf_norms
+    )["params"]
+    want_w = w_plain.apply({"params": params}, q32, bankf.noise_flat,
+                           bankf.clean, bankf_norms)
+    sb = shard_bank(
+        MemoryBank(noise_flat=bankf.noise_flat, clean=bankf.clean,
+                   sq_norms=bankf_norms, patch_size=32, stride=4),
+        mesh, "data",
+    )
+    w_ring = DenoiserWithMemoryAdapter(
+        base=base, hidden_channels=8,
+        retrieval_fn=make_ring_retrieval(mesh, "data", queries_sharded=False),
+    )
+    got_w = jax.jit(
+        lambda p, t, bn, bc, bs: w_ring.apply({"params": p}, t, bn, bc, bs)
+    )(replicate(mesh, params), q32, sb.noise_flat, sb.clean, sb.sq_norms)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                               atol=1e-6)
