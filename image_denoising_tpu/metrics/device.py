@@ -92,10 +92,19 @@ def frame_iq_iou(pred255, clean255, low_q: float = 0.25, high_q: float = 0.75):
     return jnp.stack(ious)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def make_device_metrics(iq_iou: bool = False, low_q: float = 0.25,
                         high_q: float = 0.75, ssim: bool = True):
     """Build a jitted burst scorer: ``(pred_u8[F,H,W], clean_u8[F,H,W]) ->
     (psnr[F], ssim[F])``, plus ``ious[F,3]`` when ``iq_iou`` is set.
+
+    Memoized on the config: jax.jit caches compiled programs per CALLABLE
+    identity, so returning a fresh closure per call meant every evaluate()
+    in a process recompiled the scorer — minutes per rep on a remote-compile
+    backend (measured: the device-metrics CLI bench paid ~2 min/rep).
 
     ``ssim=False`` drops the SSIM output AND its 11×11 filtering work from
     the compiled program — for CLIs that only report PSNR (+IoU), e.g. the
