@@ -99,16 +99,17 @@ def main():
             ts.append(time.perf_counter() - t)
         return min(ts), float(np.median(ts))
 
-    r128 = jax.jit(lambda qq: batched_select_memory_patch(
-        qq, bank.noise_flat, bank.clean, bank.sq_norms, use_pallas=True,
-        chunk=128))
-    r8 = jax.jit(lambda qq: batched_select_memory_patch(
-        qq, bank.noise_flat, bank.clean, bank.sq_norms, use_pallas=True,
-        chunk=8))
-    mn, md = time_fn(r128, q)
+    # banks must be runtime ARGS: a closure would embed multi-GB constants
+    # into the jaxpr and stall host-side constant handling for an hour
+    # (observed: 67 GB RSS) — the CLI always passes them as args too
+    r128 = jax.jit(lambda qq, bn, bc, bs: batched_select_memory_patch(
+        qq, bn, bc, bs, use_pallas=True, chunk=128))
+    r8 = jax.jit(lambda qq, bn, bc, bs: batched_select_memory_patch(
+        qq, bn, bc, bs, use_pallas=True, chunk=8))
+    mn, md = time_fn(r128, q, bank.noise_flat, bank.clean, bank.sq_norms)
     print(json.dumps({"retrieval": "chunk128", "queries": n_q,
                       "min_s": round(mn, 3), "med_s": round(md, 3)}), flush=True)
-    mn8, md8 = time_fn(r8, q)
+    mn8, md8 = time_fn(r8, q, bank.noise_flat, bank.clean, bank.sq_norms)
     print(json.dumps({"retrieval": "chunk8", "queries": n_q,
                       "min_s": round(mn8, 3), "med_s": round(md8, 3)}), flush=True)
 
