@@ -44,9 +44,15 @@ def main():
             np.sum(np.asarray(bank, np.int64) ** 2, axis=1).astype(np.int32))
         q = jax.device_put(rng.integers(-128, 128, (B, D)).astype(np.int8))
     else:
+        # build host-side in the storage dtype: device_put(f32).astype(bf16)
+        # would hold BOTH copies on the chip (10.3 GB) and OOM next to the
+        # sweep's working set
         dt = jnp.bfloat16 if bank_dtype == "bfloat16" else jnp.float32
-        bank = jax.device_put(rng.random((N, D)).astype(np.float32)).astype(dt)
-        sq = jnp.sum(bank.astype(jnp.float32) ** 2, axis=1)
+        host = rng.random((N, D)).astype(np.float32)
+        sq_host = np.sum(host.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        bank = jax.device_put(np.asarray(host, dtype=dt))
+        del host
+        sq = jax.device_put(sq_host)
         q = jax.device_put(rng.random((B, D)).astype(np.float32))
     jax.block_until_ready((bank, sq, q))
     bank_gb = bank.size * bank.dtype.itemsize / 1e9
