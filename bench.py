@@ -53,7 +53,7 @@ BURST = 8       # 72 tiles = 9 chunks of 8 — zero tile padding
 TILE_CHUNK = -8  # lax.map over 8-tile chunks (sublane-filling batch)
 # XLA cost analysis of ImprovedUNet-48 at [1,352,352,1] f32 (fwd.lower().
 # compile().cost_analysis()["flops"]; regenerate with
-# scripts/bench_experiments.py). The pyramid grid runs 9 such tiles per frame.
+# scripts/archive/bench_experiments.py). The pyramid grid runs 9 such tiles per frame.
 FLOPS_PER_TILE = 169.1e9
 TILES_PER_FRAME = 9
 # XLA cost analysis of the FUSED structure train step (batch 4×352², remat,
@@ -152,7 +152,7 @@ def main():
 
     # batch=-8: lax.map over 8-tile chunks — the network body compiles once
     # (slow-compile-backend requirement) at the sublane-filling batch size
-    # (see scripts/bench_experiments3.py chunk sweep: 8.5 MP/s vs 6.3 at
+    # (see scripts/archive/bench_experiments3.py chunk sweep: 8.5 MP/s vs 6.3 at
     # chunk 1, 3.9-4.5 at chunks 3/4/9). uint8 in/out: quantization fused on
     # device, 4x smaller transfers.
     run = make_tiled_pyramid_runner_frames(
@@ -211,7 +211,7 @@ def main():
     # lag-1 metric fetch, like the real loop (cli/train.py): dispatch step i,
     # then fetch step i-1's loss — host work overlaps the in-flight step
     # instead of serializing on the device round trip (measured -27%,
-    # scripts/bench_experiments6.py). Every loss IS fetched by the end.
+    # scripts/archive/bench_experiments6.py). Every loss IS fetched by the end.
     n_steps = 6
     t0 = time.perf_counter()
     pending = None

@@ -178,6 +178,7 @@ def build_network(
     n_feature: int,
     dtype=None,
     remat: bool = False,
+    remat_depth: Optional[int] = None,
     blindspot: bool = False,
 ):
     """Explicit --arch wins; otherwise reference log_name substring dispatch.
@@ -190,10 +191,12 @@ def build_network(
 
     if arch:
         return build_model(arch, n_channel, n_feature, dtype=dtype,
-                           remat=remat, blindspot=blindspot)
+                           remat=remat, remat_depth=remat_depth,
+                           blindspot=blindspot)
     if log_name:
         return build_model_from_log_name(log_name, n_channel, n_feature,
-                                         dtype=dtype, remat=remat)
+                                         dtype=dtype, remat=remat,
+                                         remat_depth=remat_depth)
     raise ValueError("need --arch or --log_name to select an architecture")
 
 

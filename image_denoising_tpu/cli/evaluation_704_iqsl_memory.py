@@ -96,6 +96,16 @@ def parse_args(argv=None):
                              "--no_hoist_retrieval restores the per-chunk "
                              "retrieval (A/B + the --bank_sharded ring path, "
                              "which always retrieves per chunk).")
+    parser.add_argument("--retrieval_chunk", type=int, default=0,
+                        help="query-chunk size for the hoisted retrieval "
+                             "pass. 0 (default) = ONE pass over the whole "
+                             "tile stack — the retrieval dot is bound per "
+                             "bank sweep, not per query row, so one big pass "
+                             "beats 128-query chunks ~4x at the production "
+                             "bank (scripts/tpu_retrieval_qbatch_sweep.py, "
+                             "docs/PERF.md §7.2). Positive values restore "
+                             "fixed-size chunking (the round-4 behavior at "
+                             "128). Outputs are identical either way.")
     parser.add_argument("--timing_json", type=str, default=None,
                         help="write per-burst drain timestamps (wall seconds "
                              "since CLI start, drained frame indices, frame "
@@ -184,11 +194,14 @@ def main(argv=None):
         from ..adapters import batched_select_memory_patch
 
         c = opt.n_channel
+        # 0 = one pass over the whole stack (bank sweeps are bound per pass,
+        # not per query row — PERF §7.2); >0 = fixed-size query chunks
+        r_chunk = opt.retrieval_chunk if opt.retrieval_chunk > 0 else 10 ** 9
 
         def pre_tile_fn(tiles, params, bank_noise, bank_clean, bank_norms):
             mem = batched_select_memory_patch(
                 tiles, bank_noise, bank_clean, bank_norms,
-                use_pallas=opt.pallas_retrieval,
+                use_pallas=opt.pallas_retrieval, chunk=r_chunk,
             )
             return jnp.concatenate([tiles, mem.astype(tiles.dtype)], axis=-1)
 

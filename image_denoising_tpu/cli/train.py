@@ -76,6 +76,10 @@ def parse_args(argv=None):
                              "(trades FLOPs for HBM; the reference's batch-4 "
                              "352² ImprovedUNet training needs ~19 GB without "
                              "it and OOMs a 16 GB chip). --no-remat disables.")
+    parser.add_argument("--remat_depth", type=int, default=None,
+                        help="remat only the N highest-resolution levels "
+                             "(deep levels keep activations — less recompute "
+                             "for little HBM; docs/PERF.md §6). Default: all.")
     opt, _ = parser.parse_known_args(argv)
     return opt
 
@@ -107,7 +111,8 @@ def main(argv=None):
 
     network = build_network(opt.arch, opt.log_name, opt.n_channel,
                             opt.n_feature, dtype=resolve_dtype(opt.dtype),
-                            remat=opt.remat, blindspot=opt.blindspot)
+                            remat=opt.remat, remat_depth=opt.remat_depth,
+                            blindspot=opt.blindspot)
 
     # infer frame geometry from the first pair for init
     c0, n0 = dataset.get(0)

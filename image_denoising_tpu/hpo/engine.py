@@ -12,11 +12,20 @@ so the framework ships its own engine with the same working surface:
 * ``study.optimize(objective, n_trials, callbacks=...)``,
   ``study.best_trial`` / ``best_params``.
 
-Sampler: independent Tree-structured Parzen Estimator per parameter —
-after ``n_startup_trials`` random draws, observations split at the γ-quantile
-into good/bad sets; candidates are drawn from the good-set kernel density and
-scored by the density ratio l(x)/g(x). Matches Optuna's default univariate
-TPE behavior closely enough to reproduce the reference search dynamics.
+Sampler: independent Tree-structured Parzen Estimator per parameter,
+implementing Optuna's documented default univariate TPE (Bergstra et al.
+2011 + the Optuna defaults): after ``n_startup_trials`` random draws,
+observations split by the γ rule min(⌈0.1·n⌉, 25) into below/above sets;
+each set becomes a weighted Parzen mixture with a domain-wide Gaussian
+prior component, neighbor-distance bandwidths under the "magic clip"
+σ ∈ [(high−low)/min(100, 1+n), high−low], and linear-forgetting weights
+(oldest trials ramp from 1/n once more than 25 observations exist);
+24 candidates are drawn from the below mixture (truncated normals on the
+domain) and the one maximizing the expected-improvement proxy
+log l(x) − log g(x) wins. Int parameters are discretized-continuous
+(±step/2 domain extension, per-bin CDF mass); log parameters fit in log
+space. Fidelity is pinned by tests/test_hpo.py's clean-room replay and the
+multi-landscape regret benchmark in tests/test_tpe_fidelity.py.
 """
 from __future__ import annotations
 
@@ -66,12 +75,134 @@ class _CatDist:
 # ---------------------------------------------------------------------------
 
 
+def _default_gamma(n: int) -> int:
+    """Optuna's default below-set size: min(⌈0.1·n⌉, 25)."""
+    return min(int(math.ceil(0.1 * n)), 25)
+
+
+def _default_weights(n: int) -> np.ndarray:
+    """Optuna's linear-forgetting weights over trial-ordered observations:
+    uniform up to 25; beyond that the oldest n−25 ramp linearly from 1/n
+    to 1 and the newest 25 stay at 1."""
+    if n == 0:
+        return np.asarray([])
+    if n < 25:
+        return np.ones(n)
+    ramp = np.linspace(1.0 / n, 1.0, num=n - 25)
+    return np.concatenate([ramp, np.ones(25)])
+
+
+def _ndtr(z):
+    """Standard normal CDF (scipy.special.ndtr, kept local for clarity)."""
+    from scipy.special import ndtr
+
+    return ndtr(z)
+
+
+class _ParzenEstimator:
+    """Weighted 1-D Gaussian-mixture density over a bounded domain —
+    Optuna's univariate Parzen estimator:
+
+    * one component per observation (internal space: log for log dists,
+      ±step/2-extended continuous domain for int dists),
+    * a PRIOR component: N(midpoint, high−low) with ``prior_weight``,
+    * bandwidths = max distance to the sorted neighbors (domain endpoints
+      as sentinels), under the "magic clip"
+      σ ∈ [(high−low)/min(100, 1+n_components), high−low],
+    * components truncated to [low, high]; int (quantized) dists score a
+      value by its bin's CDF mass.
+
+    ``mus`` must be in trial order; ``weights`` (same order, un-normalized)
+    carry the linear forgetting. The prior keeps sampling exploratory and
+    g(x) strictly positive even when the above set is empty.
+    """
+
+    def __init__(self, mus, low, high, weights, prior_weight: float = 1.0,
+                 q: Optional[float] = None):
+        mus = np.asarray(mus, dtype=float)
+        weights = np.asarray(weights, dtype=float)
+        assert mus.shape == weights.shape
+        self.low, self.high, self.q = float(low), float(high), q
+        n = len(mus)
+        order = np.argsort(mus, kind="stable")
+        sorted_mus = mus[order]
+        prior_mu = 0.5 * (low + high)
+        prior_sigma = high - low
+        prior_pos = int(np.searchsorted(sorted_mus, prior_mu))
+        all_mus = np.insert(sorted_mus, prior_pos, prior_mu)
+        # neighbor-distance bandwidths with the domain endpoints as sentinels
+        with_endpoints = np.concatenate([[low], all_mus, [high]])
+        sigmas = np.maximum(with_endpoints[1:-1] - with_endpoints[:-2],
+                            with_endpoints[2:] - with_endpoints[1:-1])
+        # magic clip
+        max_sigma = high - low
+        min_sigma = max_sigma / min(100.0, 1.0 + len(all_mus))
+        sigmas = np.clip(sigmas, min_sigma, max_sigma)
+        sigmas[prior_pos] = prior_sigma  # the prior keeps its wide bandwidth
+        all_weights = np.insert(weights[order], prior_pos, prior_weight)
+        self.mus = all_mus
+        self.sigmas = np.maximum(sigmas, 1e-12)
+        self.weights = all_weights / all_weights.sum()
+        # per-component truncation mass over [low, high]
+        self._trunc = np.maximum(
+            _ndtr((high - self.mus) / self.sigmas)
+            - _ndtr((low - self.mus) / self.sigmas),
+            1e-300,
+        )
+
+    def sample(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """n draws from the truncated mixture (inverse-CDF per component)."""
+        from scipy.special import ndtri
+
+        ks = rng.choice(len(self.mus), size=n, p=self.weights)
+        mu, sig = self.mus[ks], self.sigmas[ks]
+        lo_cdf = _ndtr((self.low - mu) / sig)
+        hi_cdf = _ndtr((self.high - mu) / sig)
+        u = rng.uniform(lo_cdf, hi_cdf)
+        x = mu + sig * ndtri(np.clip(u, 1e-12, 1 - 1e-12))
+        return np.clip(x, self.low, self.high)
+
+    def log_pdf(self, xs: np.ndarray) -> np.ndarray:
+        xs = np.asarray(xs, dtype=float)
+        if self.q is None:
+            z = (xs[:, None] - self.mus[None, :]) / self.sigmas[None, :]
+            comp = (np.exp(-0.5 * z * z)
+                    / (np.sqrt(2 * np.pi) * self.sigmas[None, :])
+                    / self._trunc[None, :])
+        else:
+            # quantized: each value owns the CDF mass of its ±q/2 bin
+            ub = np.minimum(xs + 0.5 * self.q, self.high)
+            lb = np.maximum(xs - 0.5 * self.q, self.low)
+            comp = (_ndtr((ub[:, None] - self.mus[None, :]) / self.sigmas[None, :])
+                    - _ndtr((lb[:, None] - self.mus[None, :]) / self.sigmas[None, :]))
+            comp = np.maximum(comp, 0.0) / self._trunc[None, :]
+        return np.log(np.maximum(comp @ self.weights, 1e-300))
+
+
 class TPESampler:
+    """Optuna-default univariate TPE (see module docstring).
+
+    ``gamma``: None → Optuna's min(⌈0.1·n⌉, 25); a float γ → the legacy
+    fractional split ⌈γ·n⌉ (kept for callers pinning the old behavior);
+    a callable n→int is used as-is. ``n_candidates`` is Optuna's
+    ``n_ei_candidates``. ``prior_weight``/``consider_prior`` control the
+    domain-wide prior component.
+    """
+
     def __init__(self, n_startup_trials: int = 10, n_candidates: int = 24,
-                 gamma: float = 0.25, seed: int = 0):
+                 gamma=None, seed: int = 0, prior_weight: float = 1.0,
+                 consider_prior: bool = True):
         self.n_startup_trials = n_startup_trials
         self.n_candidates = n_candidates
-        self.gamma = gamma
+        if gamma is None:
+            self.gamma = _default_gamma
+        elif callable(gamma):
+            self.gamma = gamma
+        else:
+            frac = float(gamma)
+            self.gamma = lambda n: max(1, int(math.ceil(frac * n)))
+        self.prior_weight = prior_weight
+        self.consider_prior = consider_prior
         self.rng = np.random.default_rng(seed)
         # np.random.Generator is NOT thread-safe; Study.optimize(n_jobs>1)
         # calls sample() from concurrent trial threads (the reference keeps
@@ -102,55 +233,78 @@ class TPESampler:
 
     # --- TPE ---
     def sample(self, dist, history: List[tuple]):
-        """history: [(value_of_param, objective_value), ...] completed only."""
+        """history: [(value_of_param, objective_value), ...] completed only,
+        in trial order (the forgetting weights key on recency)."""
         with self._rng_lock:
             return self._sample_locked(dist, history)
+
+    def _split(self, obs):
+        """Below/above split: the ⌈γ⌉ best by objective form 'below'; both
+        groups keep TRIAL order (linear forgetting weights recency)."""
+        n_below = self.gamma(len(obs))
+        order = np.argsort([y for _, y in obs], kind="stable")
+        below_idx = np.sort(order[:n_below])
+        above_idx = np.sort(order[n_below:])
+        below = [obs[i][0] for i in below_idx]
+        above = [obs[i][0] for i in above_idx]
+        return below, above
 
     def _sample_locked(self, dist, history: List[tuple]):
         obs = [(x, y) for x, y in history if y is not None and np.isfinite(y)]
         if len(obs) < self.n_startup_trials:
             return self._random(dist)
-        obs.sort(key=lambda t: t[1])
-        n_good = max(1, int(math.ceil(self.gamma * len(obs))))
+        below, above = self._split(obs)
+        prior_w = self.prior_weight if self.consider_prior else 1e-12
+
         if isinstance(dist, _CatDist):
-            # weighted categorical by good-set VALUE counts (+1 smoothing);
-            # before the float casts so string choices work, and matched
-            # against the choice values so non-0..n-1 numeric choices count
-            good_vals = [t[0] for t in obs[:n_good]]
-            weights = np.array(
-                [1.0 + sum(1 for v in good_vals if v == c) for c in dist.choices]
-            )
-            return dist.choices[int(self.rng.choice(len(dist.choices),
-                                                    p=weights / weights.sum()))]
-        good = np.asarray([t[0] for t in obs[:n_good]], dtype=float)
-        bad = np.asarray([t[0] for t in obs[n_good:]], dtype=float)
+            # weighted category counts + the prior's uniform smoothing
+            def cat_probs(vals):
+                w = _default_weights(len(vals))
+                counts = np.full(len(dist.choices), prior_w, dtype=float)
+                for wi, v in zip(w, vals):
+                    counts[dist.choices.index(v)] += wi
+                return counts / counts.sum()
 
-        to_space = (lambda v: np.log(v)) if (
-            isinstance(dist, _FloatDist) and dist.log) else (lambda v: v)
-        from_space = (lambda v: np.exp(v)) if (
-            isinstance(dist, _FloatDist) and dist.log) else (lambda v: v)
-        lo, hi = to_space(dist.low), to_space(dist.high)
-        g = to_space(good)
-        b = to_space(bad) if len(bad) else np.asarray([0.5 * (lo + hi)])
+            p_below, p_above = cat_probs(below), cat_probs(above)
+            ks = self.rng.choice(len(dist.choices), size=self.n_candidates,
+                                 p=p_below)
+            score = np.log(p_below[ks]) - np.log(np.maximum(p_above[ks], 1e-300))
+            return dist.choices[int(ks[int(np.argmax(score))])]
 
-        bw = max((hi - lo) / 10.0, 1e-12)
-
-        def kde(x, centers):
-            d = (x[:, None] - centers[None, :]) / bw
-            return np.mean(np.exp(-0.5 * d * d), axis=1) + 1e-12
-
-        # candidates from the good KDE
-        centers = g[self.rng.integers(0, len(g), self.n_candidates)]
-        cands = np.clip(centers + self.rng.normal(0, bw, self.n_candidates), lo, hi)
-        score = kde(cands, g) / kde(cands, b)
-        best = cands[int(np.argmax(score))]
-        val = from_space(best)
         if isinstance(dist, _IntDist):
-            grid = dist.grid()
-            val = int(grid[np.argmin(np.abs(grid - val))])
-            return val
-        # exp(clip(·, log(high))) can exceed high by 1 ULP — clamp to domain
-        return min(max(float(val), dist.low), dist.high)
+            # discretized-continuous: ±step/2-extended internal domain
+            q = float(dist.step)
+            lo, hi = dist.low - 0.5 * q, dist.high + 0.5 * q
+            to_s = from_s = lambda v: np.asarray(v, dtype=float)
+        elif dist.log:
+            q = None
+            lo, hi = math.log(dist.low), math.log(dist.high)
+            to_s, from_s = np.log, np.exp
+        else:
+            q = None
+            lo, hi = float(dist.low), float(dist.high)
+            to_s = from_s = lambda v: np.asarray(v, dtype=float)
+
+        def estimator(vals):
+            mus = to_s(np.asarray(vals, dtype=float)) if len(vals) else []
+            return _ParzenEstimator(mus, lo, hi, _default_weights(len(vals)),
+                                    prior_weight=prior_w, q=q)
+
+        below_est, above_est = estimator(below), estimator(above)
+        cands = below_est.sample(self.rng, self.n_candidates)
+        if q is not None:
+            # snap to the int grid before scoring — candidates are scored as
+            # the values the trial would actually receive
+            cands = np.clip(
+                np.round((cands - dist.low) / q) * q + dist.low,
+                dist.low, dist.high,
+            )
+        score = below_est.log_pdf(cands) - above_est.log_pdf(cands)
+        best = float(cands[int(np.argmax(score))])
+        if isinstance(dist, _IntDist):
+            return int(round(best))
+        # exp(log(high)) can exceed high by 1 ULP — clamp to the domain
+        return min(max(float(from_s(best)), dist.low), dist.high)
 
 
 # ---------------------------------------------------------------------------

@@ -90,7 +90,16 @@ class ImprovedUNet(nn.Module):
     backward (jax.checkpoint via nn.remat) — the dense-concat activations of
     the full-resolution levels dominate training HBM (batch-4 352² training
     needs ~19 GB without remat, beyond a 16 GB v5e chip). Param names are
-    unchanged, so checkpoints are interchangeable across the flag."""
+    unchanged, so checkpoints are interchangeable across the flag.
+
+    ``remat_depth=k`` makes the remat SELECTIVE: only blocks whose working
+    resolution is one of the k highest levels (level L = H/2^L) rematerialize;
+    deeper levels (and the bottleneck, at level ``depth``) keep their
+    activations. Each level costs roughly equal recompute FLOPs (channel
+    doubling cancels the 4× pixel reduction) but the activation bytes halve
+    per level — so skipping remat on the deep levels buys back recompute time
+    for little HBM. ``None`` (default) remats everything, the round-3
+    behavior; numerics and param names are unchanged either way."""
 
     in_nc: int = 3
     out_nc: int = 3
@@ -98,6 +107,7 @@ class ImprovedUNet(nn.Module):
     depth: int = 4
     noise: bool = True
     remat: bool = False
+    remat_depth: Optional[int] = None
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -111,9 +121,16 @@ class ImprovedUNet(nn.Module):
                 f"{div}; got ({h},{w}). The torch reference shares this "
                 f"constraint (PixelShuffle doubling vs floored pooling)."
             )
-        RDB_ = nn.remat(RDB) if self.remat else RDB
-        ResBlock_ = nn.remat(ResBlock) if self.remat else ResBlock
-        UpBlock_ = nn.remat(UpBlock) if self.remat else UpBlock
+
+        def _blocks(level: int):
+            """(RDB, ResBlock, UpBlock) classes for a given resolution level,
+            remat'd iff the model remats and the level is shallow enough."""
+            on = self.remat and (
+                self.remat_depth is None or level < self.remat_depth
+            )
+            if on:
+                return nn.remat(RDB), nn.remat(ResBlock), nn.remat(UpBlock)
+            return RDB, ResBlock, UpBlock
         if self.noise:
             h = Conv(self.n_feature, init="torch", dtype=dt, name="noise_est_conv0")(x)
             h = leaky_relu(h)
@@ -125,6 +142,7 @@ class ImprovedUNet(nn.Module):
         skips = []
         nf = self.n_feature
         for i in range(self.depth):
+            RDB_, ResBlock_, _ = _blocks(i)
             x = leaky_relu(Conv(nf, init="torch", dtype=dt, name=f"down{i}_conv")(x))
             x = RDB_(nf, dtype=dt, name=f"down{i}_rdb")(x)
             x = ResBlock_(nf, dtype=dt, name=f"down{i}_res")(x)
@@ -133,11 +151,14 @@ class ImprovedUNet(nn.Module):
             nf *= 2
 
         nf //= 2  # bottleneck width = deepest encoder width
+        RDB_, ResBlock_, _ = _blocks(self.depth)
         x = RDB_(nf, dtype=dt, name="bottle_rdb")(x)
         x = ResBlock_(nf, dtype=dt, name="bottle_res")(x)
 
         for i in range(self.depth):
             nf //= 2
+            # up{i}'s interior runs at resolution level depth-1-i
+            _, _, UpBlock_ = _blocks(self.depth - 1 - i)
             x = UpBlock_(nf, dtype=dt, name=f"up{i}")(x, skips[-(i + 1)])
 
         x = jnp.concatenate([x, orig], axis=-1)

@@ -24,6 +24,7 @@ def build_model(
     blindspot: bool = False,
     dtype: Optional[Any] = None,
     remat: bool = False,
+    remat_depth: Optional[int] = None,
 ):
     if arch == "UNet":
         return UNet(in_nc=n_channel, out_nc=n_channel, n_feature=n_feature,
@@ -33,7 +34,7 @@ def build_model(
                       blindspot=blindspot, dtype=dtype)
     if arch == "UNetImproved":
         return ImprovedUNet(in_nc=n_channel, out_nc=n_channel, n_feature=n_feature,
-                            remat=remat, dtype=dtype)
+                            remat=remat, remat_depth=remat_depth, dtype=dtype)
     raise ValueError(f"Unknown arch: {arch!r} (choose from {ARCHS})")
 
 
@@ -43,6 +44,7 @@ def build_model_from_log_name(
     n_feature: int = 48,
     dtype: Optional[Any] = None,
     remat: bool = False,
+    remat_depth: Optional[int] = None,
 ):
     """Reference substring dispatch (train.py:298-314), priority order kept."""
     if "UNET" in log_name and "blindspot" in log_name:
@@ -53,7 +55,7 @@ def build_model_from_log_name(
         return build_model("RESNET", n_channel, n_feature, dtype=dtype)
     if "UNetImproved" in log_name:
         return build_model("UNetImproved", n_channel, n_feature, dtype=dtype,
-                           remat=remat)
+                           remat=remat, remat_depth=remat_depth)
     raise ValueError(
         f"log_name {log_name!r} matches no architecture "
         "(need one of UNET / RESNET / UNetImproved as a substring)"

@@ -58,7 +58,112 @@ def make_dataset(root: str, n: int = 5, hw: int = 704) -> None:
         Image.fromarray(noisy).save(f"{root}/noise/sem0000_{i:02d}.png")
 
 
-MODES = ("bf16_pallas", "int8", "int8_pallas", "int8_pallas_u8clean", "f32")
+MODES = ("bf16_pallas", "int8", "int8_pallas", "int8_pallas_u8clean", "f32",
+         "finetune")
+
+
+def run_finetune_timing():
+    """T5 memory finetune at the PRODUCTION bank (VERDICT r4 next #4):
+    the reference's finetune_memory.py:1395-1453 hot loop — batch-4 128²
+    patches, frozen base, hyper-gated-FFT adapter, L1 + λ_grad·grad +
+    λ_iqsl·IQSL, retrieval against the full stride-4 bank EVERY step — timed
+    on one v5e with the minimum-HBM bank (int8 noise + uint8 clean, Pallas
+    streaming). Reports s/step (f32 and bf16 compute, lag-1 fetch), the
+    retrieval-only time at the step's B=4 queries, and HBM in use."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_denoising_tpu.adapters import (DenoiserWithMemoryAdapter,
+                                              select_memory_patch)
+    from image_denoising_tpu.memory import build_memory_bank
+    from image_denoising_tpu.models import ImprovedUNet
+    from image_denoising_tpu.train import create_train_state
+    from image_denoising_tpu.train.finetune_steps import \
+        make_memory_finetune_step
+
+    root = "/tmp/mem_prod_data_5"
+    make_dataset(root, n=5)
+    clean_paths = [f"{root}/clean/sem0000_{i:02d}.png" for i in range(5)]
+    noise_paths = [f"{root}/noise/sem0000_{i:02d}.png" for i in range(5)]
+    t0 = time.perf_counter()
+    bank = build_memory_bank(clean_paths, noise_paths, patch_size=128,
+                             stride=4, bank_dtype="int8",
+                             clean_dtype="uint8", pad_to=512)
+    jax.block_until_ready(bank.noise_flat)
+    print(json.dumps({"bank_s": round(time.perf_counter() - t0, 1),
+                      "n": bank.size}), flush=True)
+
+    rng = np.random.default_rng(0)
+    clean01 = jnp.asarray(rng.random((4, 128, 128, 1), dtype=np.float32))
+    # uint8-sourced noisy patches: the int8 retrieval contract
+    noisy01 = jnp.asarray(
+        (rng.integers(0, 256, (4, 128, 128, 1)) / 255.0).astype(np.float32))
+
+    # retrieval-only at the step's query batch (B=4) — is the step
+    # retrieval-dominated?
+    retr = jax.jit(lambda q, bn, bc, bs: select_memory_patch(
+        q, bn, bc, bs, use_pallas=True))
+    np.asarray(retr(noisy01, bank.noise_flat, bank.clean, bank.sq_norms))
+    ts = []
+    for _ in range(5):
+        t = time.perf_counter()
+        np.asarray(retr(noisy01, bank.noise_flat, bank.clean, bank.sq_norms))
+        ts.append(time.perf_counter() - t)
+    retrieval_s = float(np.median(ts))
+    print(json.dumps({"retrieval_only_b4_s": round(retrieval_s, 4)}),
+          flush=True)
+
+    out = {"kind": "memory_production_finetune",
+           "config": "patch128/stride4/int8+u8clean/batch4",
+           "bank_patches": bank.size,
+           "retrieval_only_b4_s": round(retrieval_s, 4)}
+    for dtype_name in ("float32", "bfloat16"):
+        dt = jnp.bfloat16 if dtype_name == "bfloat16" else None
+        base = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48, dtype=dt)
+        wrapper = DenoiserWithMemoryAdapter(
+            base=base, in_channels=1, hidden_channels=16,
+            variant="hyper_gated_fft", pallas_retrieval=True)
+        tiles0 = jnp.zeros((2, 128, 128, 1), jnp.float32)
+        wparams = jax.jit(wrapper.init)(
+            jax.random.PRNGKey(0), tiles0, bank.noise_flat, bank.clean,
+            bank.sq_norms)["params"]
+        base_params = wparams["base"]
+        state = create_train_state(wparams["adapter"], lr=1e-4)
+        step = make_memory_finetune_step(
+            wrapper.apply, lambda_grad=0.1, lambda_iqsl=0.1,
+            iqsl_cfg={"t1": 0.3, "t2": 0.7})
+        t0 = time.perf_counter()
+        state, m = step(state, base_params, clean01, noisy01,
+                        bank.noise_flat, bank.clean, bank.sq_norms)
+        loss0 = float(m["loss"])
+        compile_s = time.perf_counter() - t0
+        n_steps = 8
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n_steps):
+            state, m = step(state, base_params, clean01, noisy01,
+                            bank.noise_flat, bank.clean, bank.sq_norms)
+            if pending is not None:
+                float(pending["loss"])
+            pending = m
+        loss = float(pending["loss"])
+        s_per_step = (time.perf_counter() - t0) / n_steps
+        assert np.isfinite(loss)
+        rec = {"dtype": dtype_name, "s_per_step": round(s_per_step, 4),
+               "compile_s": round(compile_s, 1), "loss0": round(loss0, 5)}
+        try:  # HBM occupancy where the backend exposes it
+            stats = jax.devices()[0].memory_stats()
+            rec["hbm_in_use_gb"] = round(stats["bytes_in_use"] / 1e9, 2)
+        except Exception:  # noqa: BLE001 — optional diagnostics
+            pass
+        print(json.dumps(rec), flush=True)
+        out[f"s_per_step_{dtype_name}"] = round(s_per_step, 4)
+        if "hbm_in_use_gb" in rec:
+            out["hbm_in_use_gb"] = rec["hbm_in_use_gb"]
+        del state, step, wparams, base_params
+    out["retrieval_share_pct"] = round(
+        100.0 * retrieval_s / out["s_per_step_float32"], 1)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -69,6 +174,9 @@ def main():
                  f"(got {mode!r})")
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     serve = len(sys.argv) > 3 and sys.argv[3] == "serve"
+    if mode == "finetune":
+        run_finetune_timing()
+        return
 
     root = f"/tmp/mem_prod_data_{frames}"
     make_dataset(root, n=frames)

@@ -94,6 +94,36 @@ def test_improved_unet_remat_equivalence(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("k", [0, 2, 5])
+def test_improved_unet_remat_depth_equivalence(k):
+    """Selective remat (remat_depth=k — only the k highest-resolution levels
+    rematerialize) must not change outputs, grads, or param naming vs the
+    full-remat model. k=0 degenerates to no remat, k=5 (> depth) to full."""
+    import numpy as np
+
+    full = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16, remat=True)
+    sel = ImprovedUNet(in_nc=1, out_nc=1, n_feature=16, remat=True,
+                       remat_depth=k)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 32, 32, 1), dtype=np.float32))
+    params = full.init(jax.random.PRNGKey(0), x)["params"]
+    params_s = sel.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_s))
+
+    y0 = full.apply({"params": params}, x)
+    y1 = sel.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(p, model):
+        return jnp.mean((model.apply({"params": p}, x) - 0.5) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, full))(params)
+    g1 = jax.grad(lambda p: loss(p, sel))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_unet_rejects_indivisible_dims():
     model = UNet(in_nc=1, out_nc=1, n_feature=8)
     with pytest.raises(ValueError, match="divisible by 32"):
