@@ -9,7 +9,12 @@ Workloads (the reference's production geometries):
 * value — END-TO-END inference throughput: ImprovedUNet(n_feature=48,
   grayscale) denoising 704×704 uint8 frames via 352-px tiles, 64-px overlap,
   pyramid blending (evaluation_704 semantics), frames shipped host→device and
-  denoised uint8 frames shipped back, in bursts of 8 frames per dispatch.
+  denoised uint8 frames shipped back, in bursts of 8 frames per dispatch —
+  12 bursts, the steady-state protocol: the two un-overlappable pipeline
+  edges (first burst's H2D, ~0.43 s on this tunnel, and the tail drain) are
+  real but amortize; 3-burst runs measured the edges, not the rate
+  (scripts/tpu_transfer_gap.py, docs/PERF.md §1: e2e 6.69 MP/s at 3 bursts
+  vs 8.01 at 12 vs 8.35 device-resident — a 4 % steady-state transfer cost).
   The 72-tile stack runs as a lax.map over chunks of 8 tiles — batch 8
   exactly fills the sublane dim, so XLA skips its space-to-batch conv
   rewrite and the per-conv halo traffic disappears (docs/PERF.md §5).
@@ -21,13 +26,15 @@ Workloads (the reference's production geometries):
 * mfu_pct — device FLOP/s vs the chip's bf16 peak, from the XLA cost
   analysis of the forward (169.1 GFLOP per 352² tile, 9 tiles/frame).
 * train_s_per_step — A-domain train step (train.py:354-368 workload):
-  Structure loss, batch 4×352², remat, f32, fused H2D+/255+forward+backward+
-  Adam; the reference's two batch-4 forwards run as ONE concatenated batch-8
-  forward (sublane-aligned, semantically identical — see
-  make_structure_train_step(fused=True)); metrics fetched lag-1 exactly like
-  the real loop (cli/train.py), every loss reaching the host by the end.
-  train_mfu_pct = step FLOPs (XLA cost analysis, 4.277 TFLOP incl.
-  remat recompute) over the bf16 peak.
+  Structure loss, batch 4×352², f32, no remat (the round-5 trainer default
+  — fits HBM and is ~15-20% faster than full remat, docs/PERF.md §6.1),
+  fused H2D+/255+forward+backward+Adam; the reference's two batch-4
+  forwards run as ONE concatenated batch-8 forward (sublane-aligned,
+  semantically identical — see make_structure_train_step(fused=True));
+  metrics fetched lag-1 exactly like the real loop (cli/train.py), every
+  loss reaching the host by the end. train_mfu_pct = step FLOPs (XLA cost
+  analysis of the no-remat program — no recompute inflation) over the bf16
+  peak.
 
 ``vs_baseline`` fields are speedups over the PyTorch-CPU reference measured
 by scripts/measure_torch_baseline.py (bench_baseline.json).
@@ -56,10 +63,14 @@ TILE_CHUNK = -8  # lax.map over 8-tile chunks (sublane-filling batch)
 # scripts/archive/bench_experiments.py). The pyramid grid runs 9 such tiles per frame.
 FLOPS_PER_TILE = 169.1e9
 TILES_PER_FRAME = 9
-# XLA cost analysis of the FUSED structure train step (batch 4×352², remat,
-# fused batch-8 forward + backward + Adam): 4.277 TFLOP/step — includes the
-# remat recompute. Regenerate: step.lower(...).compile().cost_analysis().
-TRAIN_FLOPS_PER_STEP = 4.2768e12
+# XLA cost analysis of the FUSED structure train step (batch 4×352², fused
+# batch-8 forward + backward + Adam, NO remat — the round-5 default, PERF
+# §6.1): 4.063 TFLOP/step, no recompute inflation (the full-remat program
+# is 4.277 TFLOP — remat re-runs block forwards whose cost XLA largely
+# CSEs/DCEs, so the inflation was only 5%). CPU and TPU cost analyses agree
+# on this program (remat=True gives 4.2768e12 on both — the round-4 value).
+# Regenerate: scripts/tpu_remat_hbm_probe.py (program_tflops).
+TRAIN_FLOPS_PER_STEP = 4.0633e12
 BF16_PEAK = {"TPU v5 lite": 197e12}  # chip bf16 peak FLOP/s by device_kind
 
 
@@ -160,7 +171,7 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    n_bursts = 3
+    n_bursts = 12
     bursts = [rng.integers(0, 256, (BURST, H, W)).astype(np.uint8)
               for _ in range(n_bursts)]
 
@@ -168,7 +179,8 @@ def main():
     np.asarray(run(jnp.asarray(bursts[0]))[0])
 
     # END-TO-END: H2D each burst, denoise, fetch every uint8 frame back.
-    # Bursts are issued asynchronously so transfers overlap compute.
+    # Bursts are issued asynchronously so transfers overlap compute. 12
+    # bursts so the first-burst H2D edge amortizes (see module docstring).
     t0 = time.perf_counter()
     outs = [run(jnp.asarray(b))[0] for b in bursts]
     host = [np.asarray(o) for o in outs]
@@ -199,8 +211,10 @@ def main():
         flops_per_mp = TILES_PER_FRAME * FLOPS_PER_TILE / (H * W / 1e6)
         mfu = round(100.0 * device_mps * flops_per_mp / peak, 2)
 
-    # TRAIN STEP: reference workload (train.py:354-368) — f32, remat, batch 4.
-    tmodel = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48, remat=True)
+    # TRAIN STEP: reference workload (train.py:354-368) — f32, batch 4, no
+    # remat (the round-5 trainer default: the fused batch-8 step fits a
+    # 16 GB v5e without remat and is ~15-20% faster — PERF §6.1 sweep).
+    tmodel = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48)
     tparams = jax.jit(tmodel.init)(jax.random.PRNGKey(0), x0)["params"]
     state = create_train_state(tparams, lr=3e-4)
     step = make_structure_train_step(tmodel.apply)
@@ -234,7 +248,7 @@ def main():
     # TRAIN STEP, bf16 compute (the production fast path: cli/train.py
     # --dtype bfloat16; params stay f32, loss trajectory pinned vs f32 by
     # tests/test_bf16_compute.py). Same workload/lag-1 protocol as above.
-    bmodel = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48, remat=True,
+    bmodel = ImprovedUNet(in_nc=1, out_nc=1, n_feature=48,
                           dtype=jnp.bfloat16)
     bparams = jax.jit(bmodel.init)(jax.random.PRNGKey(0), x0)["params"]
     bstate = create_train_state(bparams, lr=3e-4)

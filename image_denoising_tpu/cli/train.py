@@ -71,11 +71,14 @@ def parse_args(argv=None):
     add_blindspot_flag(parser)
     add_dtype_flag(parser)
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
-                        default=True,
+                        default=False,
                         help="rematerialize RDB/Res/Up blocks during backward "
-                             "(trades FLOPs for HBM; the reference's batch-4 "
-                             "352² ImprovedUNet training needs ~19 GB without "
-                             "it and OOMs a 16 GB chip). --no-remat disables.")
+                             "(trades FLOPs for HBM). Default OFF: the fused "
+                             "batch-8 step at the reference batch-4 352² "
+                             "geometry fits a 16 GB v5e without remat and is "
+                             "~15-20%% faster (docs/PERF.md §6.1 sweep; the "
+                             "torch reference never remats either). Enable "
+                             "for larger batches/frames that exceed HBM.")
     parser.add_argument("--remat_depth", type=int, default=None,
                         help="remat only the N highest-resolution levels "
                              "(deep levels keep activations — less recompute "
