@@ -314,9 +314,12 @@ def test_batched_select_matches_plain(rng):
         q = jnp.asarray(rng.random((t, 8, 8, 1)).astype(np.float32))
         want = select_memory_patch(q, bank.noise_flat, bank.clean,
                                    bank.sq_norms)
-        got = batched_select_memory_patch(q, bank.noise_flat, bank.clean,
-                                          bank.sq_norms, chunk=16)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # chunk=16: round-4 fixed chunking; chunk=10**9: the CLI's
+        # --retrieval_chunk 0 single-pass default (PERF §7.2)
+        for chunk in (16, 10 ** 9):
+            got = batched_select_memory_patch(q, bank.noise_flat, bank.clean,
+                                              bank.sq_norms, chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     # int8 bank: centered-byte queries, exact int32 distances
     bank8, _, _ = _int8_twin_banks(rng, 24)
