@@ -196,6 +196,10 @@ def main(argv=None):
         c = opt.n_channel
         # 0 = one pass over the whole stack (bank sweeps are bound per pass,
         # not per query row — PERF §7.2); >0 = fixed-size query chunks
+        if opt.retrieval_chunk < 0:
+            raise SystemExit(
+                f"--retrieval_chunk must be >= 0 (0 = single pass), got "
+                f"{opt.retrieval_chunk}")
         r_chunk = opt.retrieval_chunk if opt.retrieval_chunk > 0 else 10 ** 9
 
         def pre_tile_fn(tiles, params, bank_noise, bank_clean, bank_norms):

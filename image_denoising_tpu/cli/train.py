@@ -82,8 +82,13 @@ def parse_args(argv=None):
     parser.add_argument("--remat_depth", type=int, default=None,
                         help="remat only the N highest-resolution levels "
                              "(deep levels keep activations — less recompute "
-                             "for little HBM; docs/PERF.md §6). Default: all.")
+                             "for little HBM; docs/PERF.md §6). Implies "
+                             "--remat. Default: all levels when --remat.")
     opt, _ = parser.parse_known_args(argv)
+    if opt.remat_depth is not None:
+        # a depth without --remat would silently be a no-op (the model gates
+        # on remat AND depth) — asking for a depth IS asking for remat
+        opt.remat = True
     return opt
 
 

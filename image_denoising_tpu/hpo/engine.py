@@ -105,7 +105,9 @@ class _ParzenEstimator:
 
     * one component per observation (internal space: log for log dists,
       ±step/2-extended continuous domain for int dists),
-    * a PRIOR component: N(midpoint, high−low) with ``prior_weight``,
+    * a PRIOR component: N(midpoint, high−low) with ``prior_weight``
+      (omitted when ``consider_prior=False``, unless there are no
+      observations — the mixture must stay non-empty),
     * bandwidths = max distance to the sorted neighbors (domain endpoints
       as sentinels), under the "magic clip"
       σ ∈ [(high−low)/min(100, 1+n_components), high−low],
@@ -118,7 +120,7 @@ class _ParzenEstimator:
     """
 
     def __init__(self, mus, low, high, weights, prior_weight: float = 1.0,
-                 q: Optional[float] = None):
+                 q: Optional[float] = None, consider_prior: bool = True):
         mus = np.asarray(mus, dtype=float)
         weights = np.asarray(weights, dtype=float)
         assert mus.shape == weights.shape
@@ -126,10 +128,17 @@ class _ParzenEstimator:
         n = len(mus)
         order = np.argsort(mus, kind="stable")
         sorted_mus = mus[order]
-        prior_mu = 0.5 * (low + high)
-        prior_sigma = high - low
-        prior_pos = int(np.searchsorted(sorted_mus, prior_mu))
-        all_mus = np.insert(sorted_mus, prior_pos, prior_mu)
+        # Optuna omits the prior component under consider_prior=False but
+        # forces it when there are no observations (the mixture must be
+        # non-empty for g(x) > 0).
+        use_prior = consider_prior or n == 0
+        if use_prior:
+            prior_mu = 0.5 * (low + high)
+            prior_sigma = high - low
+            prior_pos = int(np.searchsorted(sorted_mus, prior_mu))
+            all_mus = np.insert(sorted_mus, prior_pos, prior_mu)
+        else:
+            all_mus = sorted_mus
         # neighbor-distance bandwidths with the domain endpoints as sentinels
         with_endpoints = np.concatenate([[low], all_mus, [high]])
         sigmas = np.maximum(with_endpoints[1:-1] - with_endpoints[:-2],
@@ -138,8 +147,11 @@ class _ParzenEstimator:
         max_sigma = high - low
         min_sigma = max_sigma / min(100.0, 1.0 + len(all_mus))
         sigmas = np.clip(sigmas, min_sigma, max_sigma)
-        sigmas[prior_pos] = prior_sigma  # the prior keeps its wide bandwidth
-        all_weights = np.insert(weights[order], prior_pos, prior_weight)
+        if use_prior:
+            sigmas[prior_pos] = prior_sigma  # prior keeps its wide bandwidth
+            all_weights = np.insert(weights[order], prior_pos, prior_weight)
+        else:
+            all_weights = weights[order]
         self.mus = all_mus
         self.sigmas = np.maximum(sigmas, 1e-12)
         self.weights = all_weights / all_weights.sum()
@@ -254,13 +266,16 @@ class TPESampler:
         if len(obs) < self.n_startup_trials:
             return self._random(dist)
         below, above = self._split(obs)
-        prior_w = self.prior_weight if self.consider_prior else 1e-12
+        # categorical smoothing: Optuna's prior pseudo-count; under
+        # consider_prior=False keep an epsilon so unseen categories score
+        # log(~0) rather than crashing log(0)
+        cat_prior = self.prior_weight if self.consider_prior else 1e-12
 
         if isinstance(dist, _CatDist):
             # weighted category counts + the prior's uniform smoothing
             def cat_probs(vals):
                 w = _default_weights(len(vals))
-                counts = np.full(len(dist.choices), prior_w, dtype=float)
+                counts = np.full(len(dist.choices), cat_prior, dtype=float)
                 for wi, v in zip(w, vals):
                     counts[dist.choices.index(v)] += wi
                 return counts / counts.sum()
@@ -288,7 +303,8 @@ class TPESampler:
         def estimator(vals):
             mus = to_s(np.asarray(vals, dtype=float)) if len(vals) else []
             return _ParzenEstimator(mus, lo, hi, _default_weights(len(vals)),
-                                    prior_weight=prior_w, q=q)
+                                    prior_weight=self.prior_weight, q=q,
+                                    consider_prior=self.consider_prior)
 
         below_est, above_est = estimator(below), estimator(above)
         cands = below_est.sample(self.rng, self.n_candidates)

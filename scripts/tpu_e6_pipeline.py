@@ -75,7 +75,10 @@ def main():
     bank = build_memory_bank(clean_paths, noise_paths, patch_size=PS,
                              stride=STRIDE, bank_dtype="int8",
                              clean_dtype="uint8", pad_to=512)
-    jax.block_until_ready(bank.noise_flat)
+    # informational timing: real D2H fetch of the small array + best-effort
+    # block on the banks (block_until_ready can return early here, CLAUDE.md)
+    np.asarray(bank.sq_norms)
+    jax.block_until_ready((bank.noise_flat, bank.clean))
     print(json.dumps({"bank_s": round(time.perf_counter() - t0, 1),
                       "n": bank.size,
                       "bank_gb": round((bank.noise_flat.nbytes

@@ -94,7 +94,13 @@ def run_finetune_timing(stride: int = 4):
     bank = build_memory_bank(clean_paths, noise_paths, patch_size=128,
                              stride=stride, bank_dtype="int8",
                              clean_dtype="uint8", pad_to=512)
-    jax.block_until_ready(bank.noise_flat)
+    # bank_s is informational: dominated by the host patch-extraction pass.
+    # Fence with a real D2H fetch of the small sq_norms array plus a
+    # best-effort block on the big banks (block_until_ready can return
+    # early on this backend — CLAUDE.md — so bank_s may slightly understate
+    # the 1.7 GB noise-bank transfer tail).
+    np.asarray(bank.sq_norms)
+    jax.block_until_ready((bank.noise_flat, bank.clean))
     print(json.dumps({"bank_s": round(time.perf_counter() - t0, 1),
                       "n": bank.size}), flush=True)
 

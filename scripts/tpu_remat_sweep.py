@@ -87,10 +87,12 @@ def main():
             rec = {"config": label, "s_per_step": round(s_per_step, 4),
                    "compile_s": round(compile_s, 1),
                    "loss0": round(loss0, 5), "loss_end": round(loss, 5)}
-            # free the state before the next config compiles
-            del state, step, params
         except Exception as e:  # noqa: BLE001 — OOM is a legit data point
             rec = {"config": label, "error": str(e)[:300]}
+        finally:
+            # free this config's HBM even when it OOMed mid-step — leaked
+            # state/params would corrupt the NEXT config's OOM data point
+            state = step = params = m = pending = None  # noqa: F841
         print(json.dumps(rec), flush=True)
         results.append(rec)
 

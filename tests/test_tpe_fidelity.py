@@ -43,6 +43,6 @@ def test_tpe_beats_random_with_confidence():
         tpe_total += tpe.mean()
         rnd_total += rnd.mean()
     # and materially better in aggregate, not just significantly: mean regret
-    # across landscapes under half of random's (measured ratio: 0.40 —
-    # 1.7x/1.9x/4.4x/135x better per landscape)
+    # across landscapes under half of random's (measured ratio: 0.35 —
+    # 1.7x/1.9x/12.3x/135x better per landscape)
     assert tpe_total < 0.5 * rnd_total, (tpe_total, rnd_total)
